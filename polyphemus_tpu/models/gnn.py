@@ -1,0 +1,74 @@
+"""Dense relational GNN over the bar lattice (flax.linen).
+
+Replaces the reference's GCL/GCN sparse stack (/root/reference/model.py:41-208)
+with the masked dense formulation of ops/lattice.py. One `edge_nn` Dense is
+shared by every layer of a stack, exactly like the reference
+(model.py:175-184), and materialized once per forward as a (S, d) gate table.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops import lattice
+from .layers import MaskedBatchNorm
+
+
+class DenseGCL(nn.Module):
+    """Parameters of one relational graph conv layer (RGCNConv layout:
+    weight (n_relations, d_in, d_out), root, bias)."""
+
+    in_dim: int
+    out_dim: int
+    num_relations: int = 6
+
+    @nn.compact
+    def __call__(self, x, mask, nbr, gate_table):
+        rel_weight = self.param(
+            "rel_weight", nn.initializers.glorot_uniform(),
+            (self.num_relations, self.in_dim, self.out_dim),
+        )
+        root = self.param(
+            "root", nn.initializers.glorot_uniform(),
+            (self.in_dim, self.out_dim),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.out_dim,))
+        return lattice.gcl_apply(
+            x, mask, nbr, gate_table, rel_weight, root, bias
+        )
+
+
+class GCN(nn.Module):
+    """Residual stack of DenseGCL layers (reference GCN, model.py:167-208).
+
+    x: (..., T, S, d) masked node states; returns same shape, masked.
+    """
+
+    dim: int
+    n_layers: int
+    num_relations: int = 6
+    num_dists: int = 32
+    batch_norm: bool = False
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, mask, nbr, *, deterministic: bool):
+        edge_nn = nn.Dense(self.dim, name="edge_nn")
+        # gate_table[d] = edge_nn(one_hot(d)) = kernel[d] + bias
+        eye = jnp.eye(self.num_dists, dtype=x.dtype)
+        gate_table = edge_nn(eye)  # (S, d)
+
+        m_f = mask[..., None].astype(x.dtype)
+        for i in range(self.n_layers):
+            residual = x
+            x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+            x = DenseGCL(self.dim, self.dim, self.num_relations,
+                         name=f"layers_{i}")(x, mask, nbr, gate_table)
+            if self.batch_norm:
+                x = MaskedBatchNorm(self.dim, name=f"norm_layers_{i}")(
+                    x, mask, use_running_average=deterministic)
+                x = x * m_f
+            x = jax.nn.relu(x)
+            x = residual + x
+        return x

@@ -1,0 +1,135 @@
+"""Shared neural building blocks (flax.linen).
+
+Counterparts of the reference's torch modules — MLP (/root/reference/
+model.py:138-164), CNNEncoder (:211-256), CNNDecoder (:259-299) — plus a
+masked BatchNorm that reproduces torch BatchNorm semantics over padded
+lattices (see ops/masked.py).
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops import masked as mops
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm1d-equivalent with masked statistics.
+
+    x: (..., features); mask broadcastable to x.shape[:-1] (None = all valid).
+    `use_running_average=False` computes masked batch stats and updates the
+    'batch_stats' collection (torch momentum convention: new = (1-m)*old + m*batch).
+    """
+
+    features: int
+    momentum: float = 0.1
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, mask=None, *, use_running_average: bool):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((self.features,))
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((self.features,))
+        )
+        if mask is None:
+            mask = jnp.ones(x.shape[:-1], bool)
+        mask = jnp.broadcast_to(mask, x.shape[:-1])
+        y, new_mean, new_var = mops.batch_norm_masked(
+            x, mask, scale, bias, ra_mean.value, ra_var.value,
+            use_running=use_running_average,
+            momentum=self.momentum, eps=self.eps,
+        )
+        if not use_running_average and not self.is_initializing():
+            ra_mean.value = new_mean
+            ra_var.value = new_var
+        return y
+
+
+class MLP(nn.Module):
+    """Linear stack with pre-layer dropout (reference model.py:138-164)."""
+
+    features: Sequence[int]  # output dim of each layer
+    activation: bool = True
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool):
+        for i, f in enumerate(self.features):
+            x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+            x = nn.Dense(f, name=f"layers_{i}")(x)
+            if self.activation:
+                x = jax.nn.relu(x)
+        return x
+
+
+class CNNEncoder(nn.Module):
+    """Per-bar structure matrix (T, S) -> embedding (reference model.py:211-256).
+
+    Conv(1->8) [+BN] relu -> MaxPool(1,4) -> Conv(8->16) [+BN] relu
+    -> flatten -> MLP. Input NHWC: (N, T, S, 1).
+    """
+
+    output_dim: int
+    dense_dim: int
+    batch_norm: bool = False
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool):
+        x = nn.Conv(8, (3, 3), padding=1, name="conv0")(x)
+        if self.batch_norm:
+            x = MaskedBatchNorm(8, name="bn0")(
+                x, use_running_average=deterministic)
+        x = jax.nn.relu(x)
+        x = nn.max_pool(x, (1, 4), strides=(1, 4))
+        x = nn.Conv(16, (3, 3), padding=1, name="conv1")(x)
+        if self.batch_norm:
+            x = MaskedBatchNorm(16, name="bn1")(
+                x, use_running_average=deterministic)
+        x = jax.nn.relu(x)
+        # NHWC flatten; the torch->jax converter permutes the following
+        # kernel so numerics match the reference's NCHW flatten.
+        x = x.reshape(x.shape[0], -1)
+        x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        x = jax.nn.relu(nn.Dense(self.dense_dim, name="lin0")(x))
+        x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        x = nn.Dense(self.output_dim, name="lin1")(x)
+        return x
+
+
+class CNNDecoder(nn.Module):
+    """Embedding -> per-bar structure logits (T, S) (reference model.py:259-299)."""
+
+    input_dim: int
+    dense_dim: int
+    n_tracks: int = 4
+    n_timesteps: int = 32
+    batch_norm: bool = False
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool):
+        h = self.n_tracks
+        w = self.n_timesteps // 4
+        x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        x = jax.nn.relu(nn.Dense(self.dense_dim, name="lin0")(x))
+        x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        x = jax.nn.relu(nn.Dense(16 * h * w, name="lin1")(x))
+        # unflatten to NHWC (N, T, S/4, 16); converter permutes lin1 rows.
+        x = x.reshape(x.shape[0], h, w, 16)
+        # nearest-neighbor upsample (1, 4) along the time axis
+        x = jnp.repeat(x, 4, axis=2)
+        x = nn.Conv(8, (3, 3), padding=1, name="conv0")(x)
+        if self.batch_norm:
+            x = MaskedBatchNorm(8, name="bn0")(
+                x, use_running_average=deterministic)
+        x = jax.nn.relu(x)
+        x = nn.Conv(1, (3, 3), padding=1, name="conv1")(x)
+        return x[..., 0]  # (N, T, S)

@@ -1,0 +1,285 @@
+"""The Polyphemus VAE, dense TPU formulation (flax.linen).
+
+Mirrors the reference architecture (/root/reference/model.py:302-678) module
+for module, but every graph operation runs on the dense bar lattice
+(ops/lattice.py) so the full encoder->sample->decoder pass — including
+structure-to-graph construction during generation, which the reference does
+on the CPU mid-forward (model.py:596-632) — is one jit region.
+
+Data layout:
+  tokens: (B, n_bars, T, S, MAX_SIMU_TOKENS, 2) int32 — (pitch, dur) ids.
+  mask:   (B, n_bars, T, S) bool — the structure tensor.
+  c_logits: (B, n_bars, T, S, MAX_SIMU_TOKENS-1, 230).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .. import constants
+from ..config import ModelConfig
+from ..ops import lattice
+from ..ops import masked as mops
+from .gnn import GCN
+from .layers import MLP, CNNDecoder, CNNEncoder, MaskedBatchNorm
+
+
+class EmbedLinear(nn.Module):
+    """Token-id embedding equivalent to a Linear applied to a one-hot input
+    (kernel lookup + bias), so reference Linear weights port directly."""
+
+    vocab: int
+    features: int
+
+    @nn.compact
+    def __call__(self, ids):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.vocab, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return jnp.take(kernel, ids, axis=0) + bias
+
+
+class ContentEncoder(nn.Module):
+    """Reference ContentEncoder (model.py:302-417), dense layout."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, tokens, mask, nbr, *, deterministic: bool):
+        cfg = self.cfg
+        d, h = cfg.d, cfg.d // 2
+        n_slots = constants.MAX_SIMU_TOKENS - 1
+
+        toks = tokens[..., 1:, :]  # drop SOS slot
+        pitch_ids, dur_ids = toks[..., 0], toks[..., 1]
+
+        # Separate drum/non-drum pitch embeddings; shared duration embedding.
+        # Drums are statically row 0 of the track axis.
+        drums_pitch = EmbedLinear(constants.N_PITCH_TOKENS, h,
+                                  name="drums_pitch_emb")(
+            pitch_ids[..., :1, :, :])
+        nd_pitch = EmbedLinear(constants.N_PITCH_TOKENS, h,
+                               name="non_drums_pitch_emb")(
+            pitch_ids[..., 1:, :, :])
+        dur_emb = EmbedLinear(constants.N_DUR_TOKENS, h, name="dur_emb")
+        drums_dur = dur_emb(dur_ids[..., :1, :, :])
+        nd_dur = dur_emb(dur_ids[..., 1:, :, :])
+
+        # Masked BN per group; the shared dur BN runs drums first then
+        # non-drums, updating running stats twice in that order
+        # (reference model.py:362, :375 share one bn_dur module).
+        m_drum = jnp.broadcast_to(mask[..., :1, :, None],
+                                  drums_pitch.shape[:-1])
+        m_nd = jnp.broadcast_to(mask[..., 1:, :, None], nd_pitch.shape[:-1])
+        drums_pitch = MaskedBatchNorm(h, name="bn_drums")(
+            drums_pitch, m_drum, use_running_average=deterministic)
+        nd_pitch = MaskedBatchNorm(h, name="bn_non_drums")(
+            nd_pitch, m_nd, use_running_average=deterministic)
+        bn_dur = MaskedBatchNorm(h, name="bn_dur")
+        drums_dur = bn_dur(drums_dur, m_drum,
+                           use_running_average=deterministic)
+        nd_dur = bn_dur(nd_dur, m_nd, use_running_average=deterministic)
+
+        emb = jnp.concatenate(
+            [
+                jnp.concatenate([drums_pitch, drums_dur], axis=-1),
+                jnp.concatenate([nd_pitch, nd_dur], axis=-1),
+            ],
+            axis=-4,
+        )  # (B, nb, T, S, 15, d)
+
+        # Chord embedding: flatten slots, Linear(15d -> d), relu, dropout.
+        x = emb.reshape(emb.shape[:-2] + (n_slots * d,))
+        x = nn.Dense(d, name="chord_encoder")(x)
+        x = jax.nn.relu(x)
+        x = nn.Dropout(cfg.dropout, deterministic=deterministic)(x)
+        x = x * mask[..., None].astype(x.dtype)
+
+        # Message passing over the lattice.
+        x = GCN(dim=d, n_layers=cfg.gnn_n_layers,
+                num_relations=constants.N_EDGE_TYPES,
+                num_dists=cfg.n_timesteps, batch_norm=cfg.batch_norm,
+                dropout=cfg.dropout, name="graph_encoder")(
+            x, mask, nbr, deterministic=deterministic)
+
+        # Soft-attention pooling into per-bar embeddings
+        # (gate = BatchNorm1d(Linear(d->1)), reference model.py:334-340).
+        gates = MLP(features=[1], activation=False, dropout=cfg.dropout,
+                    name="gate_mlp")(x, deterministic=deterministic)
+        gates = MaskedBatchNorm(1, name="gate_bn")(
+            gates, mask, use_running_average=deterministic)
+        pooled = mops.attention_pool_bars(x, gates, mask)  # (B, nb, d)
+
+        out = pooled.reshape(pooled.shape[0], cfg.n_bars * d)
+        return nn.Dense(d, name="bars_encoder")(out)
+
+
+class StructureEncoder(nn.Module):
+    """Reference StructureEncoder (model.py:420-445)."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, s_float, *, deterministic: bool):
+        cfg = self.cfg
+        b = s_float.shape[0]
+        x = s_float.reshape(b * cfg.n_bars, cfg.n_tracks, cfg.n_timesteps, 1)
+        x = CNNEncoder(output_dim=cfg.d, dense_dim=cfg.d,
+                       batch_norm=cfg.batch_norm, dropout=cfg.dropout,
+                       name="cnn_encoder")(x, deterministic=deterministic)
+        x = x.reshape(b, cfg.n_bars * cfg.d)
+        return nn.Dense(cfg.d, name="bars_encoder")(x)
+
+
+class Encoder(nn.Module):
+    """Reference Encoder head (model.py:448-483)."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, tokens, mask, nbr, *, deterministic: bool):
+        cfg = self.cfg
+        z_s = StructureEncoder(cfg, name="s_encoder")(
+            mask.astype(jnp.float32), deterministic=deterministic)
+        z_c = ContentEncoder(cfg, name="c_encoder")(
+            tokens, mask, nbr, deterministic=deterministic)
+
+        z_g = jnp.concatenate([z_c, z_s], axis=-1)
+        z_g = nn.Dropout(cfg.dropout, deterministic=deterministic)(z_g)
+        z_g = nn.Dense(cfg.d, name="linear_merge")(z_g)
+        z_g = MaskedBatchNorm(cfg.d, name="bn_linear_merge")(
+            z_g, use_running_average=deterministic)
+        z_g = jax.nn.relu(z_g)
+        z_g = nn.Dropout(cfg.dropout, deterministic=deterministic)(z_g)
+        mu = nn.Dense(cfg.d, name="linear_mu")(z_g)
+        log_var = nn.Dense(cfg.d, name="linear_log_var")(z_g)
+        return mu, log_var
+
+
+class StructureDecoder(nn.Module):
+    """Reference StructureDecoder (model.py:486-505)."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, z_s, *, deterministic: bool):
+        cfg = self.cfg
+        out = nn.Dense(cfg.d * cfg.n_bars, name="bars_decoder")(z_s)
+        out = out.reshape(-1, cfg.d)
+        out = CNNDecoder(input_dim=cfg.d, dense_dim=cfg.d,
+                         n_tracks=cfg.n_tracks, n_timesteps=cfg.n_timesteps,
+                         batch_norm=cfg.batch_norm, dropout=cfg.dropout,
+                         name="cnn_decoder")(out, deterministic=deterministic)
+        return out.reshape(z_s.shape[0], cfg.n_bars, cfg.n_tracks,
+                           cfg.n_timesteps)
+
+
+class ContentDecoder(nn.Module):
+    """Reference ContentDecoder (model.py:508-578), dense layout."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, z_c, mask, nbr, *, deterministic: bool):
+        cfg = self.cfg
+        d, h = cfg.d, cfg.d // 2
+        n_slots = constants.MAX_SIMU_TOKENS - 1
+
+        out = nn.Dense(cfg.d * cfg.n_bars, name="bars_decoder")(z_c)
+        z_bars = out.reshape(out.shape[0], cfg.n_bars, d)
+        # Broadcast each bar latent to its active cells (the dense analogue of
+        # repeat_interleave over per-bar node counts, model.py:542-545).
+        x = jnp.broadcast_to(
+            z_bars[..., None, None, :],
+            z_bars.shape[:2] + (cfg.n_tracks, cfg.n_timesteps, d),
+        ) * mask[..., None].astype(out.dtype)
+
+        x = GCN(dim=d, n_layers=cfg.gnn_n_layers,
+                num_relations=constants.N_EDGE_TYPES,
+                num_dists=cfg.n_timesteps, batch_norm=cfg.batch_norm,
+                dropout=cfg.dropout, name="graph_decoder")(
+            x, mask, nbr, deterministic=deterministic)
+
+        x = nn.Dense(n_slots * d, name="chord_decoder")(x)
+        x = x.reshape(x.shape[:-1] + (n_slots, d))
+        x = nn.Dropout(cfg.dropout, deterministic=deterministic)(x)
+
+        pitch_h, dur_h = x[..., :h], x[..., h:]
+        drums_logits = nn.Dense(constants.N_PITCH_TOKENS,
+                                name="drums_pitch_emb")(
+            pitch_h[..., :1, :, :, :])
+        nd_logits = nn.Dense(constants.N_PITCH_TOKENS,
+                             name="non_drums_pitch_emb")(
+            pitch_h[..., 1:, :, :, :])
+        pitch_logits = jnp.concatenate([drums_logits, nd_logits], axis=-4)
+        dur_logits = nn.Dense(constants.N_DUR_TOKENS, name="dur_emb")(dur_h)
+        return jnp.concatenate([pitch_logits, dur_logits], axis=-1)
+
+
+class Decoder(nn.Module):
+    """Reference Decoder head (model.py:581-655) with the CPU graph-rebuild
+    replaced by in-graph thresholding + lattice ops."""
+
+    cfg: ModelConfig
+    sigmoid_thresh: float = 0.5
+
+    @nn.compact
+    def __call__(self, z, mask: Optional[jax.Array] = None, *,
+                 deterministic: bool):
+        cfg = self.cfg
+        z = nn.Dense(2 * cfg.d, name="lin_decoder")(z)
+        z = MaskedBatchNorm(2 * cfg.d, name="batch_norm")(
+            z, use_running_average=deterministic)
+        z = jax.nn.relu(z)
+        z = nn.Dropout(cfg.dropout, deterministic=deterministic)(z)
+        z_s, z_c = z[:, :cfg.d], z[:, cfg.d:]
+
+        s_logits = StructureDecoder(cfg, name="s_decoder")(
+            z_s, deterministic=deterministic)
+
+        if mask is None:
+            # Hard threshold (reference model.py:609-623), no gradient.
+            probs = jax.nn.sigmoid(jax.lax.stop_gradient(s_logits))
+            mask = probs >= self.sigmoid_thresh
+            mask = lattice.ensure_nonempty_bars(mask)
+
+        nbr = lattice.build_neighbors(mask)
+        c_logits = ContentDecoder(cfg, name="c_decoder")(
+            z_c, mask, nbr, deterministic=deterministic)
+        return s_logits, c_logits, mask
+
+
+class VAE(nn.Module):
+    """Reference VAE (model.py:658-678): encode, reparameterize, decode."""
+
+    cfg: ModelConfig
+
+    def setup(self):
+        self.encoder = Encoder(self.cfg)
+        self.decoder = Decoder(self.cfg)
+
+    def __call__(self, tokens, mask, *, deterministic: bool):
+        mask = lattice.ensure_nonempty_bars(mask)
+        nbr = lattice.build_neighbors(mask)
+        mu, log_var = self.encoder(tokens, mask, nbr,
+                                   deterministic=deterministic)
+        eps = jax.random.normal(self.make_rng("sample"), mu.shape, mu.dtype)
+        z = mu + jnp.exp(0.5 * log_var) * eps
+        s_logits, c_logits, _ = self.decoder(z, mask,
+                                             deterministic=deterministic)
+        return (s_logits, c_logits), mu, log_var
+
+    def encode(self, tokens, mask, *, deterministic: bool = True):
+        mask = lattice.ensure_nonempty_bars(mask)
+        nbr = lattice.build_neighbors(mask)
+        return self.encoder(tokens, mask, nbr, deterministic=deterministic)
+
+    def decode(self, z, mask: Optional[jax.Array] = None, *,
+               deterministic: bool = True):
+        return self.decoder(z, mask, deterministic=deterministic)

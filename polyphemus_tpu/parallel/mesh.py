@@ -1,0 +1,74 @@
+"""Device mesh + sharding layout.
+
+The reference is single-device (SURVEY.md §2.4: no DDP/NCCL anywhere; one GPU
+selected by --gpu_id). Here distribution is first-class and TPU-native: a 2-D
+(data, model) `jax.sharding.Mesh`; the global batch is sharded over `data`,
+large parameter matrices over `model`, and XLA GSPMD inserts the ICI
+collectives (grad psum, activation all-gathers) under jit.
+
+The model axis defaults to 1 (the VAE is tens of MB — data parallel is the
+right default); it is fully plumbed so `model_axis>1` shards the widest
+matmuls (chord encoder/decoder, per-relation GNN weights, CNN dense layers).
+"""
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(model_axis: int = 1, devices=None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if n % model_axis != 0:
+        raise ValueError(f"{n} devices not divisible by model_axis={model_axis}")
+    arr = np.asarray(devices).reshape(n // model_axis, model_axis)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+# Parameter partitioning rules: path-substring -> PartitionSpec.
+# The GNN relation weights shard their output dim; the chord bottleneck
+# Linears shard their wide (15*d) dim; other params replicate.
+_RULES = (
+    ("chord_encoder/kernel", P(MODEL_AXIS, None)),
+    ("chord_decoder/kernel", P(None, MODEL_AXIS)),
+    ("chord_decoder/bias", P(MODEL_AXIS)),
+    ("rel_weight", P(None, None, MODEL_AXIS)),
+    ("root", P(None, MODEL_AXIS)),
+    ("bars_encoder/kernel", P(MODEL_AXIS, None)),
+    ("bars_decoder/kernel", P(None, MODEL_AXIS)),
+    ("bars_decoder/bias", P(MODEL_AXIS)),
+)
+
+
+def _spec_for_path(path: str, shape) -> P:
+    for frag, spec in _RULES:
+        if frag in path and len(spec) <= len(shape):
+            return spec
+    return P()
+
+
+def param_sharding(mesh: Mesh, tree):
+    """NamedSharding tree for a variable tree, applying tensor-parallel rules
+    on the model axis (no-ops when model_axis size is 1)."""
+    flat, treedef = jax.tree_util.tree_flatten_with_path(tree)
+    shardings = []
+    for path, leaf in flat:
+        p = jax.tree_util.keystr(path, simple=True, separator="/")
+        spec = _spec_for_path(p, getattr(leaf, "shape", ()))
+        if mesh.shape[MODEL_AXIS] == 1:
+            spec = P()
+        shardings.append(NamedSharding(mesh, spec))
+    return jax.tree_util.tree_unflatten(treedef, shardings)

@@ -1,0 +1,309 @@
+"""Training runtime: jitted data-parallel train/eval steps + host loop.
+
+Reference counterpart: PolyphemusTrainer (/root/reference/training.py:78-296).
+Differences by design:
+  * the whole step (forward, losses, backward, Adam update, metrics) is one
+    jit region, sharded over the device mesh (GSPMD inserts the grad psum);
+  * gradient accumulation is a lax.scan over microbatches inside the step
+    (reference: host-side loop with iters_to_accumulate, training.py:149-158);
+  * bf16 is a compute-dtype policy — no loss scaling needed on TPU (the
+    reference uses CUDA AMP + GradScaler, training.py:123-164);
+  * checkpoints keep the reference's rolling `checkpoint` / `best_model`
+    scheme and add resume.
+"""
+from __future__ import annotations
+
+import time
+from collections import defaultdict
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from ..config import TrainConfig
+from ..models import VAE
+from ..parallel import mesh as pmesh
+from . import checkpoint as ckpt
+from .losses import compute_losses
+from .metrics import compute_accuracies
+from .schedules import beta_schedule, lr_schedule
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array  # completed optimizer updates
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    opt = cfg.optimizer
+
+    def lr_fn(count):
+        # Reference order: update k=1 runs at the optimizer's init lr; the
+        # scheduler overwrites lr after each update (training.py:161-170).
+        sched = lr_schedule(cfg.lr_scheduler, count)
+        return jnp.where(count == 0, opt.lr, sched)
+
+    return optax.adam(learning_rate=lr_fn, b1=opt.betas[0], b2=opt.betas[1],
+                      eps=opt.eps)
+
+
+def create_train_state(model: VAE, cfg: TrainConfig, rng,
+                       sample_tokens, sample_mask) -> TrainState:
+    variables = model.init(
+        {"params": rng, "sample": jax.random.fold_in(rng, 1)},
+        sample_tokens, sample_mask, deterministic=True)
+    optimizer = make_optimizer(cfg)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=optimizer.init(variables["params"]),
+    )
+
+
+def _forward_loss(model, cfg, params, batch_stats, tokens, mask, rng, beta,
+                  train: bool):
+    variables = {"params": params, "batch_stats": batch_stats}
+    rngs = {"sample": rng}
+    if cfg.model.dropout > 0:
+        rngs["dropout"] = jax.random.fold_in(rng, 7)
+    if train:
+        ((s_logits, c_logits), mu, log_var), updates = model.apply(
+            variables, tokens, mask, deterministic=False,
+            rngs=rngs, mutable=["batch_stats"])
+        new_stats = updates["batch_stats"]
+    else:
+        (s_logits, c_logits), mu, log_var = model.apply(
+            variables, tokens, mask, deterministic=True, rngs=rngs)
+        new_stats = batch_stats
+    tot, losses = compute_losses(
+        s_logits, c_logits, tokens, mask, mu, log_var, beta,
+        ref_parity=cfg.ref_parity)
+    accs = compute_accuracies(s_logits, c_logits, tokens, mask,
+                              ref_parity=cfg.ref_parity)
+    return tot, (losses, accs, new_stats)
+
+
+def make_train_step(model: VAE, cfg: TrainConfig,
+                    optimizer: optax.GradientTransformation) -> Callable:
+    """Returns step(state, tokens, mask, rng) -> (state, losses, accs).
+
+    With cfg.iters_to_accumulate > 1, the global batch is split into
+    microbatches scanned sequentially; gradients average across microbatches
+    (matching loss/iters_to_accumulate accumulation, training.py:149).
+    """
+    accum = max(cfg.iters_to_accumulate, 1)
+
+    def step(state: TrainState, tokens, mask, rng):
+        beta = (jnp.zeros((), jnp.float32) if cfg.ref_parity else
+                beta_schedule(cfg.beta_scheduler, state.step))
+        grad_fn = jax.value_and_grad(
+            lambda p, bs, t, m, r: _forward_loss(
+                model, cfg, p, bs, t, m, r, beta, True),
+            has_aux=True)
+
+        if accum == 1:
+            (_, (losses, accs, new_stats)), grads = grad_fn(
+                state.params, state.batch_stats, tokens, mask, rng)
+        else:
+            b = tokens.shape[0]
+            mb = b // accum
+            tok_mb = tokens[: mb * accum].reshape((accum, mb) + tokens.shape[1:])
+            msk_mb = mask[: mb * accum].reshape((accum, mb) + mask.shape[1:])
+
+            def scan_body(carry, xs):
+                stats, gacc, i = carry
+                t, m = xs
+                r = jax.random.fold_in(rng, i)
+                (_, (losses, accs, stats)), grads = grad_fn(
+                    state.params, stats, t, m, r)
+                gacc = jax.tree_util.tree_map(jnp.add, gacc, grads)
+                return (stats, gacc, i + 1), (losses, accs)
+
+            zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            (new_stats, gsum, _), (losses_h, accs_h) = jax.lax.scan(
+                scan_body, (state.batch_stats, zeros, 0), (tok_mb, msk_mb))
+            grads = jax.tree_util.tree_map(lambda g: g / accum, gsum)
+            losses = jax.tree_util.tree_map(jnp.mean, losses_h)
+            accs = jax.tree_util.tree_map(jnp.mean, accs_h)
+
+        updates, new_opt = optimizer.update(grads, state.opt_state,
+                                            state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  batch_stats=new_stats, opt_state=new_opt)
+        return new_state, losses, accs
+
+    return step
+
+
+def make_eval_step(model: VAE, cfg: TrainConfig) -> Callable:
+    def step(state: TrainState, tokens, mask, rng):
+        beta = (jnp.zeros((), jnp.float32) if cfg.ref_parity else
+                beta_schedule(cfg.beta_scheduler, state.step))
+        _, (losses, accs, _) = _forward_loss(
+            model, cfg, state.params, state.batch_stats, tokens, mask, rng,
+            beta, False)
+        return losses, accs
+
+    return step
+
+
+class Trainer:
+    """Host loop: epochs, periodic print/eval/save, early_exit, resume."""
+
+    def __init__(self, model_dir: str, model: VAE, cfg: TrainConfig,
+                 mesh=None, print_every: int = 1, save_every: int = 10,
+                 eval_every: Optional[int] = None, log_fn=print):
+        self.model_dir = model_dir
+        self.model = model
+        self.cfg = cfg
+        self.mesh = mesh if mesh is not None else pmesh.make_mesh(
+            cfg.parallel.model_axis)
+        self.print_every = print_every
+        self.save_every = save_every
+        self.eval_every = eval_every
+        self.log = log_fn
+        self.optimizer = make_optimizer(cfg)
+
+        bsh = pmesh.batch_sharding(self.mesh)
+        self._train_step = jax.jit(
+            make_train_step(model, cfg, self.optimizer),
+            in_shardings=(None, bsh, bsh, None),
+            donate_argnums=(0,))
+        self._eval_step = jax.jit(make_eval_step(model, cfg),
+                                  in_shardings=(None, bsh, bsh, None))
+
+        self.tr_losses = defaultdict(list)
+        self.tr_accuracies = defaultdict(list)
+        self.val_losses = defaultdict(list)
+        self.val_accuracies = defaultdict(list)
+        self.lrs: list = []
+        self.betas: list = []
+        self.min_val_loss = float("inf")
+        self.tot_batches = 0
+        self.cur_epoch = 0
+
+    # ------------------------------------------------------------------ setup
+    def init_state(self, rng, sample_tokens, sample_mask) -> TrainState:
+        state = create_train_state(self.model, self.cfg, rng,
+                                   sample_tokens, sample_mask)
+        shardings = pmesh.param_sharding(self.mesh, state)
+        return jax.device_put(state, shardings)
+
+    def resume(self, state_template: TrainState):
+        state, meta = ckpt.load_checkpoint(self.model_dir, "checkpoint",
+                                           state_template)
+        self.tot_batches = int(meta.get("tot_batches", 0))
+        self.min_val_loss = float(meta.get("min_val_loss", float("inf")))
+        for k, v in meta.get("tr_losses", {}).items():
+            self.tr_losses[k] = list(v)
+        for k, v in meta.get("tr_accuracies", {}).items():
+            self.tr_accuracies[k] = list(v)
+        self.lrs = list(meta.get("lrs", []))
+        self.betas = list(meta.get("betas", []))
+        shardings = pmesh.param_sharding(self.mesh, state)
+        return jax.device_put(state, shardings)
+
+    # ------------------------------------------------------------------ loop
+    def fit(self, state: TrainState, train_iter_fn, epochs: int,
+            valid_iter_fn=None, early_exit: Optional[int] = None,
+            rng=None) -> TrainState:
+        rng = rng if rng is not None else jax.random.key(self.cfg.seed)
+        start = time.time()
+        stop = False
+        for epoch in range(epochs):
+            self.cur_epoch = epoch
+            for tokens, mask in train_iter_fn():
+                step_rng = jax.random.fold_in(rng, self.tot_batches)
+                state, losses, accs = self._train_step(
+                    state, tokens, mask, step_rng)
+                self._record(state, losses, accs)
+
+                n = self.tot_batches + 1
+                if n % self.print_every == 0:
+                    self._print_stats(epoch, epochs, start)
+                if (valid_iter_fn is not None and self.eval_every
+                        and n % self.eval_every == 0):
+                    state = self._maybe_eval_and_save(state, valid_iter_fn,
+                                                      rng)
+                if self.save_every > 0 and n % self.save_every == 0:
+                    self._save(state, "checkpoint")
+                if early_exit is not None and n > early_exit:
+                    stop = True
+                    break
+                self.tot_batches += 1
+            if stop:
+                break
+        elapsed = time.time() - start
+        self.log(f"Training completed in {elapsed:.1f}s")
+        self._save(state, "checkpoint")
+        return state
+
+    def evaluate(self, state: TrainState, valid_iter_fn, rng=None):
+        rng = rng if rng is not None else jax.random.key(0)
+        losses_all = defaultdict(list)
+        accs_all = defaultdict(list)
+        for i, (tokens, mask) in enumerate(valid_iter_fn()):
+            losses, accs = self._eval_step(state, tokens, mask,
+                                           jax.random.fold_in(rng, i))
+            for k, v in losses.items():
+                losses_all[k].append(float(v))
+            for k, v in accs.items():
+                accs_all[k].append(float(v))
+        return ({k: float(np.mean(v)) for k, v in losses_all.items()},
+                {k: float(np.mean(v)) for k, v in accs_all.items()})
+
+    # ------------------------------------------------------------------ internals
+    def _record(self, state, losses, accs):
+        for k, v in losses.items():
+            self.tr_losses[k].append(float(v))
+        for k, v in accs.items():
+            self.tr_accuracies[k].append(float(v))
+        step = int(state.step)
+        self.lrs.append(float(lr_schedule(self.cfg.lr_scheduler, step)))
+        self.betas.append(float(beta_schedule(
+            self.cfg.beta_scheduler, step, ref_parity=self.cfg.ref_parity)))
+
+    def _maybe_eval_and_save(self, state, valid_iter_fn, rng):
+        val_losses, val_accs = self.evaluate(state, valid_iter_fn, rng)
+        for k, v in val_losses.items():
+            self.val_losses[k].append(v)
+        for k, v in val_accs.items():
+            self.val_accuracies[k].append(v)
+        self.log(f"Val losses: {val_losses}")
+        self.log(f"Val accuracies: {val_accs}")
+        if val_losses.get("tot", float("inf")) < self.min_val_loss:
+            self.log("Validation loss improved; saving best model.")
+            self.min_val_loss = val_losses["tot"]
+            self._save(state, "best_model")
+        return state
+
+    def _save(self, state, name):
+        meta = {
+            "epoch": self.cur_epoch,
+            "tot_batches": self.tot_batches,
+            "min_val_loss": self.min_val_loss,
+            "lrs": self.lrs,
+            "betas": self.betas,
+            "tr_losses": dict(self.tr_losses),
+            "tr_accuracies": dict(self.tr_accuracies),
+            "val_losses": dict(self.val_losses),
+            "val_accuracies": dict(self.val_accuracies),
+        }
+        ckpt.save_checkpoint(self.model_dir, name, state, meta)
+
+    def _print_stats(self, epoch, epochs, start):
+        k = self.print_every
+        avg_l = {key: round(float(np.mean(v[-k:])), 3)
+                 for key, v in self.tr_losses.items()}
+        avg_a = {key: round(float(np.mean(v[-k:])), 3)
+                 for key, v in self.tr_accuracies.items()}
+        self.log(
+            f"[{time.time() - start:8.1f}s] epoch {epoch + 1}/{epochs} "
+            f"batch {self.tot_batches + 1} losses={avg_l} accs={avg_a}")
