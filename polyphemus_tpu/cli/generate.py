@@ -1,0 +1,95 @@
+"""Generation CLI — flag-compatible with the reference's generate.py
+(/root/reference/generate.py:117-256).
+
+    python -m polyphemus_tpu.cli.generate MODEL_DIR OUTPUT_DIR \
+        [--n 5] [--n_loops 1] [--no_audio] [--s_file structure.json] \
+        [--seed N] [--gen_config cfg.yaml] [--plot_struct] [--plot_proll]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import numpy as np
+
+from .. import generate as G
+from ..config import GenerationConfig
+from ..midi.song import loop_song
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        description="Generates MIDI music with a trained model.")
+    p.add_argument("model_dir", type=str)
+    p.add_argument("output_dir", type=str)
+    p.add_argument("--n", type=int, default=5,
+                   help="Number of sequences to generate (default 5).")
+    p.add_argument("--n_loops", type=int, default=1)
+    p.add_argument("--no_audio", action="store_true", default=False)
+    p.add_argument("--s_file", type=str,
+                   help="JSON file with a binary structure tensor.")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--gen_config", type=str, default=None,
+                   help="YAML/JSON with MIDI_PROGRAMS / SOUNDFONT_PATH.")
+    p.add_argument("--plot_struct", action="store_true", default=False)
+    p.add_argument("--plot_proll", action="store_true", default=False)
+    args = p.parse_args(argv)
+
+    gen_cfg = GenerationConfig.load(args.gen_config)
+
+    print(f"Loading the model from {args.model_dir}...")
+    model, variables, cfg = G.load_model(args.model_dir)
+    mc = cfg.model
+
+    s_batch = None
+    if args.s_file is not None:
+        s = G.load_structure_file(args.s_file, mc.n_bars, mc.n_tracks,
+                                  mc.n_timesteps)
+        s_batch = np.broadcast_to(s, (args.n,) + s.shape).copy()
+
+    print("Generating z...")
+    z = G.generate_z(args.seed, args.n, mc.d)
+
+    print("Generating music with the model...")
+    gen = G.make_generator(model, variables, conditioned=s_batch is not None)
+    # compile excluded from the timed run (one-time cost)
+    if s_batch is not None:
+        jax.block_until_ready(gen(z, s_batch))
+        t0 = time.time()
+        mask, tokens = jax.block_until_ready(gen(z, s_batch))
+    else:
+        jax.block_until_ready(gen(z))
+        t0 = time.time()
+        mask, tokens = jax.block_until_ready(gen(z))
+    dt = time.time() - t0
+    print(f"Inference time: {dt:.3f} s ({args.n / max(dt, 1e-9):.1f} seq/s)")
+
+    mask_np = np.asarray(mask)
+    tokens_np = np.asarray(tokens)
+
+    print(f"Saving MIDI files in {args.output_dir}...")
+    for i in range(args.n):
+        out_dir = os.path.join(args.output_dir, str(i))
+        song = G.song_from_tokens(tokens_np[i], mask_np[i], mc.resolution,
+                                  gen_cfg)
+        G.save_song(song, out_dir, "generated", audio=not args.no_audio,
+                    soundfont_path=gen_cfg.soundfont_path)
+        if args.n_loops > 1:
+            looped = loop_song(song, args.n_loops, mc.n_bars, mc.resolution)
+            G.save_song(looped, out_dir, "extended",
+                        audio=not args.no_audio,
+                        soundfont_path=gen_cfg.soundfont_path)
+        if args.plot_struct or args.plot_proll:
+            from .. import plotting
+
+            if args.plot_struct:
+                plotting.plot_structure(mask_np[i], out_dir)
+            if args.plot_proll:
+                plotting.plot_pianoroll(song, out_dir)
+    print("Finished saving MIDI files.")
+
+
+if __name__ == "__main__":
+    main()

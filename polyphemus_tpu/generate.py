@@ -1,0 +1,180 @@
+"""Generation engine.
+
+Reference counterpart: /root/reference/generate.py:21-114. The defining
+difference (SURVEY.md §3.2): the reference thresholds structure logits,
+round-trips through the CPU to rebuild PyG graphs, then decodes content; here
+`z -> structure logits -> threshold -> lattice -> content logits -> token ids`
+is ONE jitted, batched device function. Only MIDI rendering stays host-side.
+"""
+from __future__ import annotations
+
+import functools
+import json
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import constants
+from .config import GenerationConfig, TrainConfig, load_train_config
+from .midi.song import Note, Song, Track
+from .models import VAE
+
+
+# ----------------------------------------------------------------------- loading
+def load_model(model_dir: str):
+    """Load a trained model from either our native checkpoint directory or a
+    reference torch model directory (auto-detected).
+
+    Returns (model, variables, train_config).
+    """
+    if os.path.exists(os.path.join(model_dir, "checkpoint.msgpack")):
+        from flax import serialization
+
+        cfg_path = os.path.join(model_dir, "config.json")
+        if os.path.exists(cfg_path):
+            cfg = load_train_config(cfg_path)
+        else:
+            cfg = TrainConfig()
+        model = VAE(cfg.model)
+        with open(os.path.join(model_dir, "checkpoint.msgpack"), "rb") as f:
+            raw = serialization.msgpack_restore(f.read())
+        variables = {"params": raw["params"],
+                     "batch_stats": raw.get("batch_stats", {})}
+        variables = jax.tree_util.tree_map(jnp.asarray, variables)
+        return model, variables, cfg
+    if os.path.exists(os.path.join(model_dir, "checkpoint")):
+        from .convert import convert_torch_model_dir
+
+        variables, cfg = convert_torch_model_dir(model_dir)
+        variables = jax.tree_util.tree_map(jnp.asarray, variables)
+        return VAE(cfg.model), variables, cfg
+    raise FileNotFoundError(
+        f"no checkpoint.msgpack or torch `checkpoint` in {model_dir}")
+
+
+def generate_z(seed: int, n: int, d: int) -> jax.Array:
+    """z ~ N(0, I) (reference generate.py:90-98)."""
+    return jax.random.normal(jax.random.key(seed), (n, d))
+
+
+# ----------------------------------------------------------------- device pipeline
+def _tokens_from_logits(c_logits):
+    """Argmax (pitch, dur) ids per slot: (..., 15, 230) -> (..., 15, 2)."""
+    pitch = jnp.argmax(c_logits[..., : constants.N_PITCH_TOKENS], axis=-1)
+    dur = jnp.argmax(c_logits[..., constants.N_PITCH_TOKENS:], axis=-1)
+    return jnp.stack([pitch, dur], axis=-1).astype(jnp.int32)
+
+
+def make_generator(model: VAE, variables, *, conditioned: bool = False,
+                   return_logits: bool = False):
+    """Build the jitted z->music function.
+
+    Returns fn(z[, mask]) -> (mask, tokens) (+ (s_logits, c_logits) when
+    return_logits): mask (B, nb, T, S) bool, tokens (B, nb, T, S, 15, 2)
+    int32 argmax ids at every cell (callers apply the mask).
+    """
+
+    def run(z, mask=None):
+        s_logits, c_logits, used_mask = model.apply(
+            variables, z, mask, method=VAE.decode)
+        tokens = _tokens_from_logits(c_logits)
+        if return_logits:
+            return used_mask, tokens, s_logits, c_logits
+        return used_mask, tokens
+
+    if conditioned:
+        return jax.jit(run)
+    return jax.jit(lambda z: run(z, None))
+
+
+# -------------------------------------------------------------------- host render
+def song_from_tokens(tokens: np.ndarray, mask: np.ndarray, resolution: int,
+                     gen_config: Optional[GenerationConfig] = None) -> Song:
+    """One sample's (tokens, mask) -> Song.
+
+    Follows reference muspy_from_mtp (utils.py:83-141): per track, walk
+    global timesteps and note slots; stop a cell at EOS/PAD of pitch or
+    duration; skip SOS pitches (the reference checks pitch twice —
+    utils.py:114-115 — so a SOS duration with a valid pitch also emits;
+    reproduced); durations remap [0,95] -> [1,96], clamped to sequence end.
+    """
+    gen_config = gen_config or GenerationConfig()
+    n_bars, n_tracks, n_ts = mask.shape
+    total = n_bars * n_ts
+    tracks = []
+    for t in range(n_tracks):
+        name = constants.TRACKS[t]
+        is_drum = t == constants.DRUMS_TRACK
+        notes = []
+        for b in range(n_bars):
+            for s in range(n_ts):
+                if not mask[b, t, s]:
+                    continue
+                gt = b * n_ts + s
+                for slot in range(tokens.shape[-2]):
+                    pitch, dur = tokens[b, t, s, slot]
+                    if (pitch in (constants.PitchToken.EOS,
+                                  constants.PitchToken.PAD)
+                            or dur in (constants.DurationToken.EOS,
+                                       constants.DurationToken.PAD)):
+                        break
+                    if pitch == constants.PitchToken.SOS:
+                        continue
+                    duration = min(int(dur) + 1, total - gt)
+                    notes.append(Note(gt, int(pitch), duration, 64))
+        program = gen_config.midi_programs.get(name, 0)
+        tracks.append(Track(name=name, is_drum=is_drum,
+                            program=0 if is_drum else program, notes=notes))
+    return Song(resolution=resolution, tempo=120.0, tracks=tracks)
+
+
+def load_structure_file(path: str, n_bars: int, n_tracks: int,
+                        n_timesteps: int) -> np.ndarray:
+    """Load + validate a structure-conditioning JSON
+    (reference generate.py:196-232): tile partial bars, fix empty bars."""
+    with open(path) as f:
+        s = np.asarray(json.load(f), dtype=bool)
+    expected = [n_bars, n_tracks, n_timesteps]
+    dims = list(s.shape)
+    if dims != expected:
+        if (len(dims) != 3 or dims[1:] != expected[1:]
+                or dims[0] > n_bars):
+            raise ValueError(
+                f"structure tensor dims {dims} do not match {expected}")
+        reps = -(-n_bars // dims[0])
+        s = np.tile(s, (reps, 1, 1))[:n_bars]
+    empty = ~s.any(axis=(-1, -2))
+    if empty.any():
+        s = s.copy()
+        s[empty, 0, 0] = True
+    return s
+
+
+def save_song(song: Song, out_dir: str, name: str, *, audio: bool = False,
+              soundfont_path: Optional[str] = None) -> None:
+    """Write <name>.mid (+ .wav via external fluidsynth when requested and
+    available — the synth itself is a host tool, as in the reference's
+    muspy.write_audio -> fluidsynth chain)."""
+    import shutil
+    import subprocess
+
+    from .midi.writer import write_midi
+
+    os.makedirs(out_dir, exist_ok=True)
+    midi_path = os.path.join(out_dir, name + ".mid")
+    write_midi(midi_path, song)
+    if audio:
+        fs = shutil.which("fluidsynth")
+        if fs is None or soundfont_path is None \
+                or not os.path.exists(soundfont_path):
+            print(f"[generate] audio skipped for {name} "
+                  "(fluidsynth or soundfont unavailable)")
+            return
+        wav_path = os.path.join(out_dir, name + ".wav")
+        subprocess.run(
+            [fs, "-ni", soundfont_path, midi_path, "-F", wav_path,
+             "-r", "44100"],
+            check=False, capture_output=True)
