@@ -1,0 +1,71 @@
+"""Headline benchmark: batched LMD2 generation throughput on one TPU chip.
+
+Measures the full z -> structure -> lattice -> content -> token-ids pipeline
+(the reference's generate_music path, /root/reference/generate.py:21-37,
+minus host MIDI rendering) on the flagship LMD2 config (d=512, 8 GNN layers,
+2 bars, batch 256). North star (BASELINE.json): >= 100 sequences/sec/chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "seq/s", "vs_baseline": N}
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_SEQ_PER_SEC = 100.0  # BASELINE.json north-star target
+BATCH = int(os.environ.get("POLY_BENCH_BATCH", 256))
+ROUNDS = int(os.environ.get("POLY_BENCH_ROUNDS", 5))
+D_MODEL = int(os.environ.get("POLY_BENCH_D", 512))
+N_LAYERS = int(os.environ.get("POLY_BENCH_LAYERS", 8))
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from polyphemus_tpu.config import ModelConfig
+    from polyphemus_tpu.generate import make_generator
+    from polyphemus_tpu.models import VAE
+
+    cfg = ModelConfig(d=D_MODEL, gnn_n_layers=N_LAYERS, n_bars=2,
+                      resolution=8, dropout=0.0, batch_norm=True)
+    model = VAE(cfg)
+
+    toks0 = jnp.zeros((1, cfg.n_bars, cfg.n_tracks, cfg.n_timesteps, 16, 2),
+                      jnp.int32)
+    mask0 = jnp.zeros((1, cfg.n_bars, cfg.n_tracks, cfg.n_timesteps),
+                      bool).at[:, :, 0, 0].set(True)
+    variables = jax.jit(
+        lambda: model.init(
+            {"params": jax.random.key(0), "sample": jax.random.key(1)},
+            toks0, mask0, deterministic=True)
+    )()
+
+    gen = make_generator(model, variables)
+
+    zs = [jax.random.normal(jax.random.key(100 + i), (BATCH, cfg.d))
+          for i in range(ROUNDS)]
+    jax.block_until_ready(gen(zs[0]))  # compile
+
+    t0 = time.perf_counter()
+    for z in zs:
+        out = gen(z)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    seq_per_sec = ROUNDS * BATCH / dt
+    print(json.dumps({
+        "metric": "lmd2_batched_generation",
+        "value": round(seq_per_sec, 2),
+        "unit": "seq/s",
+        "vs_baseline": round(seq_per_sec / BASELINE_SEQ_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,234 @@
+"""Offline MIDI -> tensor preprocessing.
+
+Reference counterpart: /root/reference/preprocess.py:18-238 (pypianoroll +
+muspy based). Same pipeline semantics, on our dependency-free MIDI parser:
+
+  1. parse + quantize to `resolution` steps/quarter; keep only 4/4 songs;
+  2. bucket tracks by MIDI program: drums / bass (32-39) / guitar (0-31) /
+     strings (>39), require all four families present;
+  3. strings tracks merge via pianoroll max-blend; every track round-trips
+     through a pianoroll (so overlapping same-pitch notes merge exactly as
+     muspy.from_pypianoroll does);
+  4. per (drums x bass x guitar) combination, pack per-timestep token lists
+     (SOS + up to 14 (pitch, dur) pairs + EOS, PAD elsewhere) and boolean
+     onset activations;
+  5. slide a bar-stride window, drop windows with >= 1 bar of consecutive
+     per-track silence or a fully silent bar, randomly transpose non-drums
+     by -5..+6 semitones, and save one .npz per window — the exact sample
+     format the reference trainer consumes.
+"""
+from __future__ import annotations
+
+import itertools
+import multiprocessing
+import os
+import time
+from struct import error as struct_error
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from .. import constants
+from ..midi.parser import MidiParseError, quantize_song, read_midi
+from ..midi.song import Note, Song, Track
+
+
+# --------------------------------------------------------------- pianoroll glue
+def notes_to_pianoroll(notes: Sequence[Note], length: int) -> np.ndarray:
+    roll = np.zeros((length, 128), np.uint8)
+    for n in notes:
+        if n.pitch < 0 or n.pitch > 127:
+            continue
+        start = max(n.time, 0)
+        end = min(n.time + max(n.duration, 1), length)
+        if end > start:
+            roll[start:end, n.pitch] = np.maximum(
+                roll[start:end, n.pitch], max(n.velocity, 1))
+    return roll
+
+
+def pianoroll_to_notes(roll: np.ndarray) -> List[Note]:
+    """Consecutive active steps of one pitch -> one note (muspy
+    from_pypianoroll semantics)."""
+    notes = []
+    padded = np.zeros((roll.shape[0] + 2, roll.shape[1]), bool)
+    padded[1:-1] = roll > 0
+    diff = np.diff(padded.astype(np.int8), axis=0)
+    for pitch in range(roll.shape[1]):
+        starts = np.nonzero(diff[:, pitch] == 1)[0]
+        ends = np.nonzero(diff[:, pitch] == -1)[0]
+        for s, e in zip(starts, ends):
+            notes.append(Note(int(s), pitch, int(e - s), 64))
+    notes.sort(key=lambda n: (n.time, n.pitch))
+    return notes
+
+
+# ------------------------------------------------------------------ tokenization
+def pack_track(notes: Sequence[Note], length: int):
+    """Notes -> (content (length, 16, 2) int16, activations (length,) bool)
+    (reference preprocess.py:111-157)."""
+    msim = constants.MAX_SIMU_TOKENS
+    content = np.zeros((length, msim, 2), np.int16)
+    content[:, :, 0] = constants.PitchToken.PAD
+    content[:, 0, 0] = constants.PitchToken.SOS
+    content[:, :, 1] = constants.DurationToken.PAD
+    content[:, 0, 1] = constants.DurationToken.SOS
+
+    counter = np.ones(length, np.int16)
+    for n in notes:
+        t = n.time
+        if t < 0 or t >= length or counter[t] >= msim - 1:
+            continue
+        pitch = min(max(n.pitch, 0), constants.MAX_PITCH_TOKEN)
+        dur = min(max(n.duration, 1), constants.MAX_DUR_TOKEN + 1)
+        content[t, counter[t], 0] = pitch
+        content[t, counter[t], 1] = dur - 1
+        counter[t] += 1
+
+    t_range = np.arange(length)
+    content[t_range, counter, 0] = constants.PitchToken.EOS
+    content[t_range, counter, 1] = constants.DurationToken.EOS
+    activations = (counter - 1).astype(bool)
+    return content, activations
+
+
+def _keep_window(s_tensor: np.ndarray, n_bars: int) -> bool:
+    """Silence filters (reference preprocess.py:176-194)."""
+    if n_bars > 1:
+        bars = s_tensor.reshape(s_tensor.shape[0], n_bars, -1)
+        bars_acts = np.any(bars, axis=2)
+        # >= 2 consecutive silent bars within one track
+        silent = np.argwhere(~bars_acts)
+        for track in range(bars_acts.shape[0]):
+            cols = np.sort(silent[silent[:, 0] == track][:, 1])
+            if cols.size >= 2 and (np.diff(cols) == 1).any():
+                return False
+        # a completely silent bar
+        if (~bars_acts.any(axis=0)).any():
+            return False
+        return True
+    return bool(np.any(s_tensor))
+
+
+def transpose_non_drums(c_tensor: np.ndarray,
+                        rng: np.random.Generator) -> None:
+    """Random -5..+6 semitone shift of non-drum pitches, in place
+    (reference preprocess.py:196-205)."""
+    shift = int(rng.integers(-5, 7))
+    pitches = c_tensor[1:, :, :, 0]
+    cond = ((pitches != constants.PitchToken.PAD)
+            & (pitches != constants.PitchToken.SOS)
+            & (pitches != constants.PitchToken.EOS))
+    shifted = np.clip(pitches + shift, 0, constants.MAX_PITCH_TOKEN)
+    c_tensor[1:, :, :, 0] = np.where(cond, shifted, pitches)
+
+
+# ------------------------------------------------------------------ file pipeline
+def preprocess_midi_file(filepath: str, dest_dir: str, n_bars: int,
+                         resolution: int,
+                         seed: Optional[int] = None) -> int:
+    """One MIDI file -> .npz samples in dest_dir. Returns samples written."""
+    filename = os.path.basename(filepath)
+    try:
+        raw, tpq, time_sigs = read_midi(filepath)
+    except (MidiParseError, OSError, IndexError, struct_error):
+        print(f"Song skipped (invalid format): {filename}")
+        return 0
+
+    for num, den in time_sigs:
+        if num != 4 or den != 4:
+            print(f"Song skipped ({num}/{den} time signature): {filename}")
+            return 0
+
+    song = quantize_song(raw, tpq, resolution)
+
+    drums, basses, guitars, strings = [], [], [], []
+    for track in song.tracks:
+        if not track.notes:
+            continue
+        if track.is_drum:
+            drums.append(track)
+        elif 0 <= track.program <= 31:
+            guitars.append(track)
+        elif 32 <= track.program <= 39:
+            basses.append(track)
+        else:
+            strings.append(track)
+    if not (drums and basses and guitars and strings):
+        print(f"Song skipped (missing drum/bass/guitar/strings): {filename}")
+        return 0
+
+    bar_steps = 4 * resolution
+    rng = np.random.default_rng(seed)
+    saved = 0
+
+    def roll_len(tracks):
+        return max((n.time + n.duration for t in tracks for n in t.notes),
+                   default=0) + 1
+
+    # strings merge once (max-blend, reference preprocess.py:71-73)
+    for combo in itertools.product(drums, basses, guitars):
+        tracks = list(combo) + [strings]
+        length = max(roll_len([t]) if not isinstance(t, list)
+                     else roll_len(t) for t in tracks)
+        if length % bar_steps:
+            length += bar_steps - (length % bar_steps)
+        if length < n_bars * bar_steps:
+            continue
+
+        contents, structures = [], []
+        for t in tracks:
+            if isinstance(t, list):  # strings family: max-blend
+                roll = np.zeros((length, 128), np.uint8)
+                for st in t:
+                    roll = np.maximum(roll,
+                                      notes_to_pianoroll(st.notes, length))
+            else:
+                roll = notes_to_pianoroll(t.notes, length)
+            notes = pianoroll_to_notes(roll)
+            content, acts = pack_track(notes, length)
+            contents.append(content)
+            structures.append(acts)
+
+        c_all = np.stack(contents)      # (4, length, 16, 2)
+        s_all = np.stack(structures)    # (4, length)
+
+        window = n_bars * bar_steps
+        for start in range(0, length - window + 1, bar_steps):
+            c = np.copy(c_all[:, start:start + window])
+            s = np.copy(s_all[:, start:start + window])
+            if not _keep_window(s, n_bars):
+                continue
+            transpose_non_drums(c, rng)
+            out = os.path.join(dest_dir, f"{filename}{saved}")
+            np.savez(out, c_tensor=c, s_tensor=s)
+            saved += 1
+    return saved
+
+
+def preprocess_midi_dataset(midi_dataset_dir: str, preprocessed_dir: str,
+                            n_bars: int, resolution: int,
+                            n_files: Optional[int] = None,
+                            n_workers: int = 1) -> None:
+    """Recursive parallel sweep (reference preprocess.py:215-238)."""
+    print("Starting preprocessing")
+    start = time.time()
+    os.makedirs(preprocessed_dir, exist_ok=True)
+
+    jobs = []
+    for dirpath, _, files in os.walk(midi_dataset_dir):
+        for f in files:
+            jobs.append((os.path.join(dirpath, f), preprocessed_dir,
+                         n_bars, resolution))
+            if n_files is not None and len(jobs) >= n_files:
+                break
+
+    if n_workers > 1:
+        with multiprocessing.Pool(n_workers) as pool:
+            results = pool.starmap(preprocess_midi_file, jobs)
+    else:
+        results = [preprocess_midi_file(*j) for j in jobs]
+
+    elapsed = time.time() - start
+    print(f"Preprocessed {len(jobs)} files -> {sum(results)} samples "
+          f"in {elapsed:.1f}s ({len(jobs) / max(elapsed, 1e-9):.1f} files/s)")
