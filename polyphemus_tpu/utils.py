@@ -1,0 +1,87 @@
+"""Misc utilities: seeding, parameter tables, profiling.
+
+Reference counterparts: set_seed (/root/reference/utils.py:15-22),
+print_params (:31-48). Profiling is new — the reference only prints
+wall-clock times (SURVEY.md §5); here jax.profiler traces are first-class.
+"""
+from __future__ import annotations
+
+import contextlib
+import os
+import random
+import time
+from typing import Iterator, Optional
+
+import jax
+import numpy as np
+
+
+def set_seed(seed: int) -> None:
+    """Host-side RNG seeding. JAX device RNG is explicit (jax.random.key),
+    so unlike torch there is no hidden global device state to pin."""
+    np.random.seed(seed)
+    random.seed(seed)
+    os.environ["PYTHONHASHSEED"] = str(seed)
+
+
+def param_count(tree) -> int:
+    return sum(int(np.prod(x.shape))
+               for x in jax.tree_util.tree_leaves(tree))
+
+
+def print_params(params, log_fn=print) -> int:
+    """Per-parameter table + total (reference utils.py:31-48)."""
+    flat, _ = jax.tree_util.tree_flatten_with_path(params)
+    rows = [(jax.tree_util.keystr(p, simple=True, separator="."),
+             int(np.prod(x.shape))) for p, x in flat]
+    width = max((len(n) for n, _ in rows), default=10)
+    log_fn(f"{'Module':<{width}} | Parameters")
+    log_fn("-" * (width + 13))
+    for name, n in rows:
+        log_fn(f"{name:<{width}} | {n}")
+    total = sum(n for _, n in rows)
+    log_fn(f"Total Trainable Parameters: {total}")
+    return total
+
+
+@contextlib.contextmanager
+def profile_trace(log_dir: Optional[str]) -> Iterator[None]:
+    """jax.profiler trace context (view with TensorBoard / xprof).
+    No-op when log_dir is None."""
+    if log_dir is None:
+        yield
+        return
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+class StepTimer:
+    """Rolling per-step wall-clock stats for train/gen loops."""
+
+    def __init__(self, window: int = 50):
+        self.window = window
+        self.times: list[float] = []
+        self._last: Optional[float] = None
+
+    def tick(self) -> Optional[float]:
+        now = time.perf_counter()
+        dt = None
+        if self._last is not None:
+            dt = now - self._last
+            self.times.append(dt)
+            if len(self.times) > self.window:
+                self.times.pop(0)
+        self._last = now
+        return dt
+
+    @property
+    def mean(self) -> float:
+        return float(np.mean(self.times)) if self.times else 0.0
+
+    @property
+    def steps_per_sec(self) -> float:
+        m = self.mean
+        return 1.0 / m if m > 0 else 0.0
