@@ -24,7 +24,20 @@ D_MODEL = int(os.environ.get("POLY_BENCH_D", 512))
 N_LAYERS = int(os.environ.get("POLY_BENCH_LAYERS", 8))
 
 
+def _enable_compile_cache():
+    import jax
+
+    cache_dir = os.environ.get(
+        "POLY_COMPILE_CACHE", os.path.expanduser("~/.cache/polyphemus_jax"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def main() -> None:
+    _enable_compile_cache()
     import jax
     import jax.numpy as jnp
 

@@ -30,7 +30,12 @@ def _masked_ce(logits, labels, weights):
 
 def compute_losses(s_logits, c_logits, tokens, mask, mu, log_var, beta,
                    *, ref_parity: bool = False):
-    """Returns (tot_loss, dict of scalar losses)."""
+    """Returns (tot_loss, dict of scalar losses). Loss math runs in fp32
+    regardless of compute dtype (bf16 policy keeps softmax/KLD stable)."""
+    s_logits = s_logits.astype(jnp.float32)
+    c_logits = c_logits.astype(jnp.float32)
+    mu = mu.astype(jnp.float32)
+    log_var = log_var.astype(jnp.float32)
     targets = tokens[..., 1:, :]  # drop SOS slot
     pitch_true = targets[..., 0]
     dur_true = targets[..., 1]

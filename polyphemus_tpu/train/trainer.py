@@ -66,8 +66,20 @@ def create_train_state(model: VAE, cfg: TrainConfig, rng,
     )
 
 
+def _cast_floating(tree, dtype):
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dtype)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x, tree)
+
+
 def _forward_loss(model, cfg, params, batch_stats, tokens, mask, rng, beta,
                   train: bool):
+    if cfg.bf16:
+        # bf16 compute / fp32 master params; gradients flow through the cast
+        # back to fp32 (the TPU analogue of the reference's CUDA AMP,
+        # training.py:123-164 — no loss scaling needed in bf16).
+        params = _cast_floating(params, jnp.bfloat16)
+        batch_stats = _cast_floating(batch_stats, jnp.bfloat16)
     variables = {"params": params, "batch_stats": batch_stats}
     rngs = {"sample": rng}
     if cfg.model.dropout > 0:
@@ -77,6 +89,9 @@ def _forward_loss(model, cfg, params, batch_stats, tokens, mask, rng, beta,
             variables, tokens, mask, deterministic=False,
             rngs=rngs, mutable=["batch_stats"])
         new_stats = updates["batch_stats"]
+        if cfg.bf16:
+            # running stats are kept in fp32 master precision
+            new_stats = _cast_floating(new_stats, jnp.float32)
     else:
         (s_logits, c_logits), mu, log_var = model.apply(
             variables, tokens, mask, deterministic=True, rngs=rngs)
