@@ -228,16 +228,30 @@ class Trainer:
     # ------------------------------------------------------------------ loop
     def fit(self, state: TrainState, train_iter_fn, epochs: int,
             valid_iter_fn=None, early_exit: Optional[int] = None,
-            rng=None) -> TrainState:
+            rng=None, profile_dir: Optional[str] = None,
+            profile_steps: tuple = (10, 15)) -> TrainState:
+        from ..utils import StepTimer, profile_trace
+
         rng = rng if rng is not None else jax.random.key(self.cfg.seed)
         start = time.time()
         stop = False
+        timer = StepTimer()
+        profiling = False
         for epoch in range(epochs):
             self.cur_epoch = epoch
             for tokens, mask in train_iter_fn():
+                if profile_dir is not None:
+                    if self.tot_batches == profile_steps[0] and not profiling:
+                        jax.profiler.start_trace(profile_dir)
+                        profiling = True
+                    elif self.tot_batches == profile_steps[1] and profiling:
+                        jax.profiler.stop_trace()
+                        profiling = False
+                        self.log(f"Profiler trace written to {profile_dir}")
                 step_rng = jax.random.fold_in(rng, self.tot_batches)
                 state, losses, accs = self._train_step(
                     state, tokens, mask, step_rng)
+                timer.tick()
                 self._record(state, losses, accs)
 
                 n = self.tot_batches + 1

@@ -4,7 +4,12 @@ Run alone (single CPU core + single TPU): python scripts/perf_probe.py
 """
 import json
 import os
+import sys
 import time
+
+# repo root on sys.path WITHOUT touching PYTHONPATH (overriding PYTHONPATH
+# drops /root/.axon_site and the TPU plugin never registers)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 os.environ.setdefault("POLY_COMPILE_CACHE",
                       os.path.expanduser("~/.cache/polyphemus_jax"))
