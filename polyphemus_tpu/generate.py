@@ -89,11 +89,14 @@ def make_generator(model: VAE, variables, *, conditioned: bool = False,
     def run(z, mask=None):
         if bf16:
             z = z.astype(jnp.bfloat16)
-        s_logits, c_logits, used_mask = model.apply(
-            variables, z, mask, method=VAE.decode)
-        tokens = _tokens_from_logits(c_logits)
         if return_logits:
-            return used_mask, tokens, s_logits, c_logits
+            s_logits, c_logits, used_mask = model.apply(
+                variables, z, mask, method=VAE.decode)
+            return used_mask, _tokens_from_logits(c_logits), s_logits, \
+                c_logits
+        # fused unembed+argmax path: logits never materialize
+        s_logits, tokens, used_mask = model.apply(
+            variables, z, mask, method=VAE.decode_tokens)
         return used_mask, tokens
 
     if conditioned:

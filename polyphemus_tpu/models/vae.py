@@ -180,13 +180,35 @@ class StructureDecoder(nn.Module):
                            cfg.n_timesteps)
 
 
+class DenseParams(nn.Module):
+    """Parameter holder with nn.Dense's tree layout (kernel/bias), for
+    layers whose application is hand-scheduled (slot-scanned decode)."""
+
+    in_dim: int
+    out_dim: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (self.in_dim, self.out_dim))
+        bias = self.param("bias", nn.initializers.zeros, (self.out_dim,))
+        return kernel, bias
+
+
 class ContentDecoder(nn.Module):
-    """Reference ContentDecoder (model.py:508-578), dense layout."""
+    """Reference ContentDecoder (model.py:508-578), dense layout.
+
+    emit='logits' returns (B, nb, T, S, 15, 230) content logits (training /
+    parity path). emit='tokens' fuses chord-decode -> unembed -> argmax in a
+    scan over the 15 note slots, so the multi-GB logits tensors never
+    materialize in HBM (generation fast path; identical argmax results).
+    """
 
     cfg: ModelConfig
 
     @nn.compact
-    def __call__(self, z_c, mask, nbr, *, deterministic: bool):
+    def __call__(self, z_c, mask, nbr, *, deterministic: bool,
+                 emit: str = "logits"):
         cfg = self.cfg
         d, h = cfg.d, cfg.d // 2
         n_slots = constants.MAX_SIMU_TOKENS - 1
@@ -206,20 +228,47 @@ class ContentDecoder(nn.Module):
                 dropout=cfg.dropout, name="graph_decoder")(
             x, mask, nbr, deterministic=deterministic)
 
-        x = nn.Dense(n_slots * d, name="chord_decoder")(x)
-        x = x.reshape(x.shape[:-1] + (n_slots, d))
-        x = nn.Dropout(cfg.dropout, deterministic=deterministic)(x)
+        ck, cb = DenseParams(d, n_slots * d, name="chord_decoder")()
+        pk_d, pb_d = DenseParams(h, constants.N_PITCH_TOKENS,
+                                 name="drums_pitch_emb")()
+        pk_n, pb_n = DenseParams(h, constants.N_PITCH_TOKENS,
+                                 name="non_drums_pitch_emb")()
+        dk, db = DenseParams(h, constants.N_DUR_TOKENS, name="dur_emb")()
 
-        pitch_h, dur_h = x[..., :h], x[..., h:]
-        drums_logits = nn.Dense(constants.N_PITCH_TOKENS,
-                                name="drums_pitch_emb")(
-            pitch_h[..., :1, :, :, :])
-        nd_logits = nn.Dense(constants.N_PITCH_TOKENS,
-                             name="non_drums_pitch_emb")(
-            pitch_h[..., 1:, :, :, :])
-        pitch_logits = jnp.concatenate([drums_logits, nd_logits], axis=-4)
-        dur_logits = nn.Dense(constants.N_DUR_TOKENS, name="dur_emb")(dur_h)
-        return jnp.concatenate([pitch_logits, dur_logits], axis=-1)
+        def unembed(slot_h):
+            """(..., T, S, d) one slot -> pitch/dur logits."""
+            ph, dh = slot_h[..., :h], slot_h[..., h:]
+            drums = ph[..., :1, :, :] @ pk_d + pb_d
+            nd = ph[..., 1:, :, :] @ pk_n + pb_n
+            pitch = jnp.concatenate([drums, nd], axis=-3)
+            dur = dh @ dk + db
+            return pitch, dur
+
+        if emit == "logits":
+            y = x @ ck + cb
+            y = y.reshape(y.shape[:-1] + (n_slots, d))
+            y = nn.Dropout(cfg.dropout, deterministic=deterministic)(y)
+            pitch, dur = unembed(jnp.moveaxis(y, -2, 0))
+            return jnp.concatenate(
+                [jnp.moveaxis(pitch, 0, -2), jnp.moveaxis(dur, 0, -2)],
+                axis=-1)
+
+        # emit == "tokens": scan slots; only int32 ids reach HBM.
+        w_slots = ck.reshape(d, n_slots, d)
+        w_slots = jnp.moveaxis(w_slots, 1, 0)  # (n_slots, d, d)
+        b_slots = cb.reshape(n_slots, d)
+
+        def body(_, wb):
+            w, b = wb
+            slot_h = x @ w + b
+            pitch, dur = unembed(slot_h)
+            ids = jnp.stack(
+                [jnp.argmax(pitch, axis=-1), jnp.argmax(dur, axis=-1)],
+                axis=-1).astype(jnp.int32)
+            return None, ids
+
+        _, ids = jax.lax.scan(body, None, (w_slots, b_slots))
+        return jnp.moveaxis(ids, 0, -2)  # (B, nb, T, S, n_slots, 2)
 
 
 class Decoder(nn.Module):
@@ -231,7 +280,7 @@ class Decoder(nn.Module):
 
     @nn.compact
     def __call__(self, z, mask: Optional[jax.Array] = None, *,
-                 deterministic: bool):
+                 deterministic: bool, emit: str = "logits"):
         cfg = self.cfg
         z = nn.Dense(2 * cfg.d, name="lin_decoder")(z)
         z = MaskedBatchNorm(2 * cfg.d, name="batch_norm")(
@@ -250,9 +299,9 @@ class Decoder(nn.Module):
             mask = lattice.ensure_nonempty_bars(mask)
 
         nbr = lattice.build_neighbors(mask)
-        c_logits = ContentDecoder(cfg, name="c_decoder")(
-            z_c, mask, nbr, deterministic=deterministic)
-        return s_logits, c_logits, mask
+        c_out = ContentDecoder(cfg, name="c_decoder")(
+            z_c, mask, nbr, deterministic=deterministic, emit=emit)
+        return s_logits, c_out, mask
 
 
 class VAE(nn.Module):
@@ -283,3 +332,10 @@ class VAE(nn.Module):
     def decode(self, z, mask: Optional[jax.Array] = None, *,
                deterministic: bool = True):
         return self.decoder(z, mask, deterministic=deterministic)
+
+    def decode_tokens(self, z, mask: Optional[jax.Array] = None, *,
+                      deterministic: bool = True):
+        """Generation fast path: (s_logits, token_ids, mask) with the
+        unembed+argmax fused per slot (no logits materialization)."""
+        return self.decoder(z, mask, deterministic=deterministic,
+                            emit="tokens")

@@ -50,24 +50,30 @@ def timeit(fn, args, rounds=5):
 
 results = {}
 
+def emit(k, v):
+    results[k] = v
+    print(json.dumps({k: round(v, 4)}), flush=True)
+
 z = jax.random.normal(jax.random.key(7), (BATCH, cfg.d))
 gen32 = make_generator(model, variables)
 dt = timeit(gen32, (z,))
-results["gen_fp32_seq_s"] = BATCH / dt
+emit("gen_fp32_seq_s", BATCH / dt)
 
 gen16 = make_generator(model, variables, bf16=True)
 dt = timeit(gen16, (z,))
-results["gen_bf16_seq_s"] = BATCH / dt
+emit("gen_bf16_seq_s", BATCH / dt)
 
 # token agreement between fp32 and bf16 paths
 m32, t32 = [np.asarray(x) for x in gen32(z)]
 m16, t16 = [np.asarray(x) for x in gen16(z)]
-results["bf16_mask_agree"] = float((m32 == m16).mean())
-results["bf16_token_agree"] = float(
-    (t32[m32] == t16[m32]).mean()) if m32.any() else 1.0
+emit("bf16_mask_agree", float((m32 == m16).mean()))
+emit("bf16_token_agree", float(
+    (t32[m32] == t16[m32]).mean()) if m32.any() else 1.0)
 
 # train step throughput
-tcfg = TrainConfig(batch_size=BATCH, model=cfg)
+# batch 256 without accumulation OOMs 16G HBM (measured 21.8G);
+# 4 microbatches of 64 fit
+tcfg = TrainConfig(batch_size=BATCH, model=cfg, iters_to_accumulate=4)
 toks, mask = synthetic_batch(np.random.default_rng(0), BATCH, cfg.n_bars)
 toks, mask = jnp.asarray(toks), jnp.asarray(mask)
 state = create_train_state(model, tcfg, jax.random.key(0), toks, mask)
@@ -79,7 +85,7 @@ for i in range(N):
     state, losses, accs = step(state, toks, mask, jax.random.key(i))
 jax.block_until_ready(losses["tot"])
 dt = (time.perf_counter() - t0) / N
-results["train_step_s"] = dt
-results["train_seq_s"] = BATCH / dt
+emit("train_step_s", dt)
+emit("train_seq_s", BATCH / dt)
 
 print(json.dumps({k: round(v, 4) for k, v in results.items()}))
