@@ -44,6 +44,8 @@ def main(argv=None):
     p.add_argument("--resume", action="store_true", default=False,
                    help="Resume from <model_dir>/checkpoint.")
     p.add_argument("--early_exit", type=int, default=None)
+    p.add_argument("--profile", type=str, default=None,
+                   help="Directory for a jax.profiler trace of steps 10-15.")
     args = p.parse_args(argv)
 
     cfg = load_train_config(args.config_file)
@@ -83,6 +85,9 @@ def main(argv=None):
     os.makedirs(model_dir, exist_ok=args.resume)
     save_train_config(cfg, os.path.join(model_dir, "config.json"))
 
+    from ..parallel.mesh import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
     mesh = make_mesh(cfg.parallel.model_axis)
     print(f"Devices: {jax.device_count()} mesh={dict(mesh.shape)}")
 
@@ -110,7 +115,8 @@ def main(argv=None):
                 valid_iter_fn=(lambda: iter(valid_loader))
                 if valid_loader is not None else None,
                 early_exit=args.early_exit,
-                rng=jax.random.key(args.seed))
+                rng=jax.random.key(args.seed),
+                profile_dir=args.profile)
 
 
 if __name__ == "__main__":

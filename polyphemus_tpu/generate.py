@@ -104,6 +104,20 @@ def make_generator(model: VAE, variables, *, conditioned: bool = False,
     return jax.jit(lambda z: run(z, None))
 
 
+def mtp_from_logits(c_logits, mask):
+    """Dense multitrack-pianoroll logits with hard silences at inactive
+    cells (reference utils.py:59-79): pitch EOS one-hot at slot 0, PAD
+    elsewhere. API-compatibility helper; the fast path uses token ids.
+
+    c_logits: (B, nb, T, S, 15, 230); mask: (B, nb, T, S) bool.
+    """
+    silence = jnp.zeros(c_logits.shape[-2:], c_logits.dtype)
+    silence = silence.at[0, constants.PitchToken.EOS].set(1.0)
+    silence = silence.at[1:, constants.PitchToken.PAD].set(1.0)
+    m = mask[..., None, None]
+    return jnp.where(m, c_logits, silence)
+
+
 # -------------------------------------------------------------------- host render
 def song_from_tokens(tokens: np.ndarray, mask: np.ndarray, resolution: int,
                      gen_config: Optional[GenerationConfig] = None) -> Song:

@@ -20,6 +20,17 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+def maybe_initialize_distributed() -> None:
+    """Multi-host setup: call once per process before device queries when
+    running on a multi-host TPU slice. No-op unless the standard cluster
+    env (JAX coordinator variables) is present."""
+    import os
+
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+            "COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+
+
 def make_mesh(model_axis: int = 1, devices=None) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)

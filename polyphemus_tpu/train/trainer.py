@@ -13,6 +13,8 @@ Differences by design:
 """
 from __future__ import annotations
 
+import json
+import os
 import time
 from collections import defaultdict
 from typing import Any, Callable, Optional
@@ -174,7 +176,8 @@ class Trainer:
 
     def __init__(self, model_dir: str, model: VAE, cfg: TrainConfig,
                  mesh=None, print_every: int = 1, save_every: int = 10,
-                 eval_every: Optional[int] = None, log_fn=print):
+                 eval_every: Optional[int] = None, log_fn=print,
+                 jsonl_metrics: bool = True):
         self.model_dir = model_dir
         self.model = model
         self.cfg = cfg
@@ -193,6 +196,9 @@ class Trainer:
             donate_argnums=(0,))
         self._eval_step = jax.jit(make_eval_step(model, cfg),
                                   in_shardings=(None, bsh, bsh, None))
+
+        self._jsonl_path = (os.path.join(model_dir, "metrics.jsonl")
+                            if jsonl_metrics else None)
 
         self.tr_losses = defaultdict(list)
         self.tr_accuracies = defaultdict(list)
@@ -298,6 +304,14 @@ class Trainer:
         self.lrs.append(float(lr_schedule(self.cfg.lr_scheduler, step)))
         self.betas.append(float(beta_schedule(
             self.cfg.beta_scheduler, step, ref_parity=self.cfg.ref_parity)))
+        if self._jsonl_path is not None:
+            rec = {"batch": self.tot_batches, "epoch": self.cur_epoch,
+                   "lr": self.lrs[-1], "beta": self.betas[-1]}
+            rec.update({f"loss/{k}": float(v) for k, v in losses.items()})
+            rec.update({f"acc/{k}": float(v) for k, v in accs.items()})
+            os.makedirs(self.model_dir, exist_ok=True)
+            with open(self._jsonl_path, "a") as f:
+                f.write(json.dumps(rec) + "\n")
 
     def _maybe_eval_and_save(self, state, valid_iter_fn, rng):
         val_losses, val_accs = self.evaluate(state, valid_iter_fn, rng)
