@@ -1,0 +1,240 @@
+"""Pallas TPU kernel: fused lattice relational graph-conv layer.
+
+One kernel invocation processes a block of bars. For each bar (128 cells =
+one MXU tile row):
+
+  * gather-style ops become one-hot selection matmuls in VMEM
+    ((128,128) @ (128,d) on the MXU — no HBM scatter/gather);
+  * gate lookups become (128, S) one-hot @ gate-table matmuls;
+  * ONSET/NEXT column sums reuse one static same-column (128,128) matrix;
+  * all eight projections (4 track relations, self, onset, next, root) fuse
+    into a single (128, 8d) @ (8d, d) matmul.
+
+Per layer, HBM traffic is one read of x and one write of the output (plus
+the shared weights); the XLA path materializes every gathered/gated
+intermediate. Semantics identical to ops.lattice.gcl_apply (tested).
+
+Used on the inference path (generation); training keeps the XLA path (no
+custom VJP needed).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import lattice
+
+# aux channel layout (all int32, per flat cell i = t*S + c)
+PREV_SRC, OK_P, DIST_P = 0, 1, 2
+NEXT_SRC, OK_N, DIST_N = 3, 4, 5
+PN_SRC, OK_PN, MSRC, DIST_PN = 6, 7, 8, 9
+CNT_ON, CNT_NX, MASK_CH, SINGLE = 10, 11, 12, 13
+N_AUX = 14
+
+
+def build_kernel_aux(mask: jax.Array) -> jax.Array:
+    """mask (..., T, S) bool -> aux (..., N_AUX, T*S) int32."""
+    t, s = mask.shape[-2], mask.shape[-1]
+    nbr = lattice.build_neighbors(mask)
+    iota_s = jnp.arange(s, dtype=jnp.int32)
+    row_base = (jnp.arange(t, dtype=jnp.int32) * s)[:, None]
+
+    def flat(x):
+        return x.reshape(x.shape[:-2] + (t * s,)).astype(jnp.int32)
+
+    prev_src = flat(row_base + nbr.prev_in_row)
+    next_src = flat(row_base + nbr.next_in_row)
+    dist_p = flat(jnp.clip(iota_s - nbr.prev_in_row, 0, s - 1)
+                  * jnp.ones((t, 1), jnp.int32))
+    dist_n = flat(jnp.clip(nbr.next_in_row - iota_s, 0, s - 1)
+                  * jnp.ones((t, 1), jnp.int32))
+    ok_p = flat(nbr.prev_in_row_ok)
+    ok_n = flat(nbr.next_in_row_ok)
+
+    pcol = nbr.prev_col[..., None, :]  # (..., 1, S)
+    pcol_b = jnp.broadcast_to(pcol, mask.shape)
+    pn_src = flat(row_base + pcol_b)
+    ok_pn = flat(jnp.broadcast_to(nbr.prev_col_ok[..., None, :], mask.shape))
+    msrc = flat(jnp.take_along_axis(mask, pcol_b, axis=-1))
+    dist_pn = flat(jnp.broadcast_to(
+        jnp.clip(iota_s - nbr.prev_col, 0, s - 1)[..., None, :], mask.shape))
+
+    m_i = mask.astype(jnp.int32)
+    cnt_on = flat(nbr.col_count[..., None, :] - m_i)
+    cnt_src = jnp.sum(
+        jnp.take_along_axis(mask, pcol_b, axis=-1).astype(jnp.int32),
+        axis=-2, keepdims=True)
+    cnt_nx = flat(cnt_src - jnp.take_along_axis(mask, pcol_b,
+                                                axis=-1).astype(jnp.int32))
+    m_flat = flat(m_i)
+    single = jnp.broadcast_to(
+        nbr.single_node[..., None, None].astype(jnp.int32),
+        mask.shape[:-2] + (1, t * s)).reshape(mask.shape[:-2] + (t * s,))
+
+    chans = [None] * N_AUX
+    chans[PREV_SRC], chans[OK_P], chans[DIST_P] = prev_src, ok_p, dist_p
+    chans[NEXT_SRC], chans[OK_N], chans[DIST_N] = next_src, ok_n, dist_n
+    chans[PN_SRC], chans[OK_PN] = pn_src, ok_pn
+    chans[MSRC], chans[DIST_PN] = msrc, dist_pn
+    chans[CNT_ON], chans[CNT_NX] = cnt_on, cnt_nx
+    chans[MASK_CH], chans[SINGLE] = m_flat, single
+    return jnp.stack(chans, axis=-2)  # (..., N_AUX, T*S)
+
+
+def pack_weights(rel_weight, root, n_tracks: int, dtype=jnp.bfloat16):
+    """(n_rel, d, d) + (d, d) -> (8d, d): [W_t0..t3 | W0(self) | W_on |
+    W_next | root]."""
+    blocks = [rel_weight[i] for i in range(n_tracks)]
+    blocks += [rel_weight[0], rel_weight[n_tracks],
+               rel_weight[n_tracks + 1], root]
+    return jnp.concatenate(blocks, axis=0).astype(dtype)
+
+
+def _kernel(aux_ref, x_ref, gates_ref, wbig_ref, bias_ref, out_ref,
+            *, bars_per_block: int, n_tracks: int, n_steps: int, d: int):
+    n = n_tracks * n_steps  # 128
+    f32 = jnp.float32
+    cdt = x_ref.dtype
+    # static structures
+    src_j = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    col_i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0) % n_steps
+    col_j = src_j % n_steps
+    a_col = (col_i == col_j).astype(cdt)  # same-column sum matrix
+    dist_j = jax.lax.broadcasted_iota(jnp.int32, (n, n_steps), 1)
+
+    gates = gates_ref[:]  # (S, d)
+    g0 = gates[0:1, :]    # (1, d)
+    wbig = wbig_ref[:]    # (8d, d)
+    bias = bias_ref[:]    # (1, d)
+
+    for b in range(bars_per_block):
+        x = x_ref[b]  # (n, d)
+
+        def ch(c):
+            return aux_ref[b, c][:, None]  # (n, 1) int32
+
+        def sel(idx, ok):
+            return ((src_j == idx) & (ok > 0)).astype(cdt)
+
+        def gate_rows(dist, ok):
+            sd = ((dist_j == dist) & (ok > 0)).astype(cdt)
+            return jax.lax.dot(sd, gates, preferred_element_type=f32
+                               ).astype(cdt)
+
+        def gather(idx, ok):
+            return jax.lax.dot(sel(idx, ok), x, preferred_element_type=f32
+                               ).astype(cdt)
+
+        m = (ch(MASK_CH) > 0).astype(cdt)  # (n, 1)
+
+        # TRACK relations
+        ok_p, ok_n = ch(OK_P), ch(OK_N)
+        msg_p = jax.nn.relu(gather(ch(PREV_SRC), ok_p)
+                            * gate_rows(ch(DIST_P), ok_p))
+        msg_n = jax.nn.relu(gather(ch(NEXT_SRC), ok_n)
+                            * gate_rows(ch(DIST_N), ok_n))
+        cnt = (ok_p + ok_n).astype(cdt)
+        h_track = jnp.where(cnt > 0, (msg_p + msg_n) /
+                            jnp.maximum(cnt, 1.0), 0.0) * m
+
+        # ONSET relation
+        y0 = jax.nn.relu(x * g0) * m
+        col_sum = jax.lax.dot(a_col, y0, preferred_element_type=f32
+                              ).astype(cdt)
+        cnt_on = ch(CNT_ON).astype(cdt)
+        h_onset = jnp.where(cnt_on > 0,
+                            (col_sum - y0) / jnp.maximum(cnt_on, 1.0),
+                            0.0) * m
+
+        # NEXT relation
+        ok_pn = ((ch(OK_PN) > 0) & (ch(MSRC) > 0)).astype(jnp.int32)
+        z = jax.nn.relu(gather(ch(PN_SRC), ok_pn)
+                        * gate_rows(ch(DIST_PN), ok_pn))
+        z_sum = jax.lax.dot(a_col, z, preferred_element_type=f32
+                            ).astype(cdt)
+        cnt_nx = ch(CNT_NX).astype(cdt)
+        valid_nx = ((ch(OK_PN) > 0) & (cnt_nx > 0)).astype(cdt)
+        h_next = jnp.where(valid_nx > 0,
+                           (z_sum - z) / jnp.maximum(cnt_nx, 1.0), 0.0) * m
+
+        # single-node self loop (relation 0)
+        h_self = y0 * ch(SINGLE).astype(cdt)
+
+        # assemble (n, 8d) and project in one matmul
+        hbig = jnp.zeros((n, 8 * d), cdt)
+        for t in range(n_tracks):
+            rows = h_track[t * n_steps:(t + 1) * n_steps]
+            hbig = hbig.at[t * n_steps:(t + 1) * n_steps,
+                           t * d:(t + 1) * d].set(rows)
+        hbig = hbig.at[:, n_tracks * d:(n_tracks + 1) * d].set(h_self)
+        hbig = hbig.at[:, (n_tracks + 1) * d:(n_tracks + 2) * d].set(h_onset)
+        hbig = hbig.at[:, (n_tracks + 2) * d:(n_tracks + 3) * d].set(h_next)
+        hbig = hbig.at[:, (n_tracks + 3) * d:].set(x)
+
+        out = jax.lax.dot(hbig, wbig, preferred_element_type=f32)
+        out = (out.astype(cdt) + bias) * m
+        out_ref[b] = out
+
+
+def gcl_apply_pallas(x, aux, gate_table, wbig, bias, *,
+                     bars_per_block: int = 8, interpret: bool | None = None):
+    """Fused GCL layer.
+
+    x: (..., T, S, d) masked node states; aux from build_kernel_aux (same
+    leading dims); gate_table (S, d); wbig from pack_weights (8d, d);
+    bias (d,). Returns (..., T, S, d).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    lead = x.shape[:-3]
+    t, s, d = x.shape[-3], x.shape[-2], x.shape[-1]
+    n = t * s
+    nbar = int(np.prod(lead)) if lead else 1
+    xf = x.reshape(nbar, n, d)
+    auxf = aux.reshape(nbar, N_AUX, n)
+
+    bb = bars_per_block
+    pad = (-nbar) % bb
+    if pad:
+        xf = jnp.concatenate([xf, jnp.zeros((pad, n, d), xf.dtype)], 0)
+        auxf = jnp.concatenate([auxf, jnp.zeros((pad, N_AUX, n),
+                                                auxf.dtype)], 0)
+    nblocks = (nbar + pad) // bb
+
+    kern = functools.partial(_kernel, bars_per_block=bb, n_tracks=t,
+                             n_steps=s, d=d)
+    out = pl.pallas_call(
+        kern,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((bb, N_AUX, n), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, n, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((s, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8 * d, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bb, n, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nbar + pad, n, d), x.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (nbar + pad) * n * (8 * d) * d,
+            bytes_accessed=(nbar + pad) * n * d * 2 * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(auxf, xf, gate_table.astype(x.dtype), wbig.astype(x.dtype),
+      bias.reshape(1, d).astype(x.dtype))
+
+    if pad:
+        out = out[:nbar]
+    return out.reshape(lead + (t, s, d))
