@@ -89,9 +89,13 @@ class BatchLoader:
         return n // self.bs if self.drop_last else -(-n // self.bs)
 
     def _load_batch(self, idxs: Sequence[int], pool: ThreadPoolExecutor):
-        samples = list(pool.map(self.ds.__getitem__, idxs))
-        toks = np.stack([s[0] for s in samples]).astype(np.int32)
-        mask = np.stack([s[1] for s in samples])
+        if hasattr(self.ds, "gather_batch"):
+            # batch-level fast path (native fastloader)
+            toks, mask = self.ds.gather_batch(np.asarray(idxs))
+        else:
+            samples = list(pool.map(self.ds.__getitem__, idxs))
+            toks = np.stack([s[0] for s in samples]).astype(np.int32)
+            mask = np.stack([s[1] for s in samples])
         if self.device_put_fn is not None:
             return self.device_put_fn(toks, mask)
         return toks, mask

@@ -165,16 +165,13 @@ def _kernel(aux_ref, x_ref, gates_ref, wbig_ref, bias_ref, out_ref,
         # single-node self loop (relation 0)
         h_self = y0 * ch(SINGLE).astype(cdt)
 
-        # assemble (n, 8d) and project in one matmul
-        hbig = jnp.zeros((n, 8 * d), cdt)
-        for t in range(n_tracks):
-            rows = h_track[t * n_steps:(t + 1) * n_steps]
-            hbig = hbig.at[t * n_steps:(t + 1) * n_steps,
-                           t * d:(t + 1) * d].set(rows)
-        hbig = hbig.at[:, n_tracks * d:(n_tracks + 1) * d].set(h_self)
-        hbig = hbig.at[:, (n_tracks + 1) * d:(n_tracks + 2) * d].set(h_onset)
-        hbig = hbig.at[:, (n_tracks + 2) * d:(n_tracks + 3) * d].set(h_next)
-        hbig = hbig.at[:, (n_tracks + 3) * d:].set(x)
+        # assemble (n, 8d) and project in one matmul; per-track blocks are
+        # row-masked copies (concat, no scatter — Mosaic has no scatter)
+        row_t = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0) // n_steps
+        parts = [h_track * (row_t == t).astype(cdt)
+                 for t in range(n_tracks)]
+        parts += [h_self, h_onset, h_next, x]
+        hbig = jnp.concatenate(parts, axis=1)
 
         out = jax.lax.dot(hbig, wbig, preferred_element_type=f32)
         out = (out.astype(cdt) + bias) * m
