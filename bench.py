@@ -22,6 +22,9 @@ BATCH = int(os.environ.get("POLY_BENCH_BATCH", 256))
 ROUNDS = int(os.environ.get("POLY_BENCH_ROUNDS", 5))
 D_MODEL = int(os.environ.get("POLY_BENCH_D", 512))
 N_LAYERS = int(os.environ.get("POLY_BENCH_LAYERS", 8))
+# fused Pallas GCL kernel on by default (set =0 for the plain XLA path)
+USE_PALLAS = os.environ.get("POLY_BENCH_PALLAS", "1") == "1"
+USE_BF16 = os.environ.get("POLY_BENCH_BF16", "0") == "1"
 
 
 def _enable_compile_cache():
@@ -59,7 +62,8 @@ def main() -> None:
             toks0, mask0, deterministic=True)
     )()
 
-    gen = make_generator(model, variables)
+    use_pallas = USE_PALLAS and jax.default_backend() == "tpu"
+    gen = make_generator(model, variables, bf16=USE_BF16, pallas=use_pallas)
 
     zs = [jax.random.normal(jax.random.key(100 + i), (BATCH, cfg.d))
           for i in range(ROUNDS)]

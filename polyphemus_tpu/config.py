@@ -24,6 +24,9 @@ class ModelConfig:
     resolution: int = constants.DEFAULT_RESOLUTION
     dropout: float = 0.0
     batch_norm: bool = True
+    # Use the fused Pallas GCL kernel (inference only — no VJP). Enabled by
+    # the generation engine; training always uses the XLA path.
+    use_pallas_gcl: bool = False
 
     @property
     def n_timesteps(self) -> int:

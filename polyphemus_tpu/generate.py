@@ -69,7 +69,8 @@ def _tokens_from_logits(c_logits):
 
 
 def make_generator(model: VAE, variables, *, conditioned: bool = False,
-                   return_logits: bool = False, bf16: bool = False):
+                   return_logits: bool = False, bf16: bool = False,
+                   pallas: bool = False):
     """Build the jitted z->music function.
 
     Returns fn(z[, mask]) -> (mask, tokens) (+ (s_logits, c_logits) when
@@ -79,8 +80,13 @@ def make_generator(model: VAE, variables, *, conditioned: bool = False,
     bf16=True runs the decode in bfloat16 (~2x MXU throughput; argmax token
     ids are usually identical, but structure cells with sigmoid near the 0.5
     threshold may flip — keep fp32 when bit-parity with the reference
-    matters).
+    matters). pallas=True uses the fused VMEM GCL kernel (fastest; same
+    MXU-rounding class of deviation).
     """
+    if pallas and not model.cfg.use_pallas_gcl:
+        import dataclasses
+
+        model = VAE(dataclasses.replace(model.cfg, use_pallas_gcl=True))
     if bf16:
         variables = jax.tree_util.tree_map(
             lambda x: x.astype(jnp.bfloat16)

@@ -12,10 +12,11 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops import lattice
+from ..ops.kernels import gcl_pallas
 from .layers import MaskedBatchNorm
 
 
-class DenseGCL(nn.Module):
+class GCLParams(nn.Module):
     """Parameters of one relational graph conv layer (RGCNConv layout:
     weight (n_relations, d_in, d_out), root, bias)."""
 
@@ -24,7 +25,7 @@ class DenseGCL(nn.Module):
     num_relations: int = 6
 
     @nn.compact
-    def __call__(self, x, mask, nbr, gate_table):
+    def __call__(self):
         rel_weight = self.param(
             "rel_weight", nn.initializers.glorot_uniform(),
             (self.num_relations, self.in_dim, self.out_dim),
@@ -34,15 +35,14 @@ class DenseGCL(nn.Module):
             (self.in_dim, self.out_dim),
         )
         bias = self.param("bias", nn.initializers.zeros, (self.out_dim,))
-        return lattice.gcl_apply(
-            x, mask, nbr, gate_table, rel_weight, root, bias
-        )
+        return rel_weight, root, bias
 
 
 class GCN(nn.Module):
-    """Residual stack of DenseGCL layers (reference GCN, model.py:167-208).
+    """Residual stack of dense relational GCL layers (reference GCN,
+    model.py:167-208). x: (..., T, S, d) masked node states.
 
-    x: (..., T, S, d) masked node states; returns same shape, masked.
+    use_pallas selects the fused VMEM kernel (inference path; no VJP).
     """
 
     dim: int
@@ -51,6 +51,7 @@ class GCN(nn.Module):
     num_dists: int = 32
     batch_norm: bool = False
     dropout: float = 0.1
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, mask, nbr, *, deterministic: bool):
@@ -59,12 +60,24 @@ class GCN(nn.Module):
         eye = jnp.eye(self.num_dists, dtype=x.dtype)
         gate_table = edge_nn(eye)  # (S, d)
 
+        n_tracks = mask.shape[-2]
+        aux = gcl_pallas.build_kernel_aux(mask) if self.use_pallas else None
+
         m_f = mask[..., None].astype(x.dtype)
         for i in range(self.n_layers):
             residual = x
             x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
-            x = DenseGCL(self.dim, self.dim, self.num_relations,
-                         name=f"layers_{i}")(x, mask, nbr, gate_table)
+            rel_weight, root, bias = GCLParams(
+                self.dim, self.dim, self.num_relations,
+                name=f"layers_{i}")()
+            if self.use_pallas:
+                wbig = gcl_pallas.pack_weights(rel_weight, root, n_tracks,
+                                               dtype=x.dtype)
+                x = gcl_pallas.gcl_apply_pallas(
+                    x, aux, gate_table, wbig, bias.astype(x.dtype))
+            else:
+                x = lattice.gcl_apply(x, mask, nbr, gate_table, rel_weight,
+                                      root, bias)
             if self.batch_norm:
                 x = MaskedBatchNorm(self.dim, name=f"norm_layers_{i}")(
                     x, mask, use_running_average=deterministic)

@@ -105,7 +105,8 @@ class ContentEncoder(nn.Module):
         x = GCN(dim=d, n_layers=cfg.gnn_n_layers,
                 num_relations=constants.N_EDGE_TYPES,
                 num_dists=cfg.n_timesteps, batch_norm=cfg.batch_norm,
-                dropout=cfg.dropout, name="graph_encoder")(
+                dropout=cfg.dropout, use_pallas=cfg.use_pallas_gcl,
+                name="graph_encoder")(
             x, mask, nbr, deterministic=deterministic)
 
         # Soft-attention pooling into per-bar embeddings
@@ -225,7 +226,8 @@ class ContentDecoder(nn.Module):
         x = GCN(dim=d, n_layers=cfg.gnn_n_layers,
                 num_relations=constants.N_EDGE_TYPES,
                 num_dists=cfg.n_timesteps, batch_norm=cfg.batch_norm,
-                dropout=cfg.dropout, name="graph_decoder")(
+                dropout=cfg.dropout, use_pallas=cfg.use_pallas_gcl,
+                name="graph_decoder")(
             x, mask, nbr, deterministic=deterministic)
 
         ck, cb = DenseParams(d, n_slots * d, name="chord_decoder")()

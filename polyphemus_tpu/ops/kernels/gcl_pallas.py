@@ -130,6 +130,12 @@ def _kernel(aux_ref, x_ref, gates_ref, wbig_ref, bias_ref, out_ref,
             return jax.lax.dot(sel(idx, ok), x, preferred_element_type=f32
                                ).astype(cdt)
 
+        # all comparisons stay in the int32 domain (Mosaic lacks bf16 cmpf);
+        # mean-divisions become f32 reciprocals cast to the compute dtype
+        def recip(cnt_i, valid_i):
+            r = 1.0 / jnp.maximum(cnt_i.astype(f32), 1.0)
+            return jnp.where(valid_i, r, 0.0).astype(cdt)
+
         m = (ch(MASK_CH) > 0).astype(cdt)  # (n, 1)
 
         # TRACK relations
@@ -138,18 +144,15 @@ def _kernel(aux_ref, x_ref, gates_ref, wbig_ref, bias_ref, out_ref,
                             * gate_rows(ch(DIST_P), ok_p))
         msg_n = jax.nn.relu(gather(ch(NEXT_SRC), ok_n)
                             * gate_rows(ch(DIST_N), ok_n))
-        cnt = (ok_p + ok_n).astype(cdt)
-        h_track = jnp.where(cnt > 0, (msg_p + msg_n) /
-                            jnp.maximum(cnt, 1.0), 0.0) * m
+        cnt_i = ok_p + ok_n
+        h_track = (msg_p + msg_n) * recip(cnt_i, cnt_i > 0) * m
 
         # ONSET relation
         y0 = jax.nn.relu(x * g0) * m
         col_sum = jax.lax.dot(a_col, y0, preferred_element_type=f32
                               ).astype(cdt)
-        cnt_on = ch(CNT_ON).astype(cdt)
-        h_onset = jnp.where(cnt_on > 0,
-                            (col_sum - y0) / jnp.maximum(cnt_on, 1.0),
-                            0.0) * m
+        cnt_on_i = ch(CNT_ON)
+        h_onset = (col_sum - y0) * recip(cnt_on_i, cnt_on_i > 0) * m
 
         # NEXT relation
         ok_pn = ((ch(OK_PN) > 0) & (ch(MSRC) > 0)).astype(jnp.int32)
@@ -157,10 +160,9 @@ def _kernel(aux_ref, x_ref, gates_ref, wbig_ref, bias_ref, out_ref,
                         * gate_rows(ch(DIST_PN), ok_pn))
         z_sum = jax.lax.dot(a_col, z, preferred_element_type=f32
                             ).astype(cdt)
-        cnt_nx = ch(CNT_NX).astype(cdt)
-        valid_nx = ((ch(OK_PN) > 0) & (cnt_nx > 0)).astype(cdt)
-        h_next = jnp.where(valid_nx > 0,
-                           (z_sum - z) / jnp.maximum(cnt_nx, 1.0), 0.0) * m
+        cnt_nx_i = ch(CNT_NX)
+        valid_nx = (ch(OK_PN) > 0) & (cnt_nx_i > 0)
+        h_next = (z_sum - z) * recip(cnt_nx_i, valid_nx) * m
 
         # single-node self loop (relation 0)
         h_self = y0 * ch(SINGLE).astype(cdt)

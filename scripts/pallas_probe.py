@@ -55,7 +55,7 @@ def bench(f, *args, rounds=10):
 for dt_name, dt in [("bf16", jnp.bfloat16), ("f32", jnp.float32)]:
     t_x, out_x = bench(run_xla, dt)
     print(json.dumps({"path": "xla", "dtype": dt_name, "ms": round(t_x * 1e3, 2)}), flush=True)
-    for bb in (8, 16):
+    for bb in (4, 8):
         try:
             t_p, out_p = bench(run_pallas, dt, bb)
             err = float(jnp.max(jnp.abs(out_p.astype(jnp.float32) - out_x.astype(jnp.float32))))
