@@ -1,0 +1,119 @@
+"""Full benchmark sweep over the BASELINE.json measurement configs.
+
+  1. LMD2 unconditional generation, n=1 (single-sequence latency)
+  2. LMD2 structure-conditioned generation (structure file)
+  3. LMD16 (16 bars) generation with 4x host-side looping
+  4. Batched generation n=256 (headline; = bench.py)
+  5. Training step/s at the reference batch size
+
+Writes bench_report.json. Random-initialized weights (the published torch
+checkpoints need network access; weight conversion is covered by tests).
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("POLY_COMPILE_CACHE",
+                      os.path.expanduser("~/.cache/polyphemus_jax"))
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["POLY_COMPILE_CACHE"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+from polyphemus_tpu.config import ModelConfig, TrainConfig
+from polyphemus_tpu.data.dataset import synthetic_batch
+from polyphemus_tpu.generate import (load_structure_file, make_generator,
+                                     song_from_tokens)
+from polyphemus_tpu.midi.song import loop_song
+from polyphemus_tpu.models import VAE
+from polyphemus_tpu.train.trainer import (create_train_state, make_optimizer,
+                                          make_train_step)
+
+PALLAS = jax.default_backend() == "tpu"
+report = {"backend": jax.default_backend(), "pallas": PALLAS}
+
+
+def build(n_bars):
+    cfg = ModelConfig(d=512, gnn_n_layers=8, n_bars=n_bars, resolution=8,
+                      dropout=0.0, batch_norm=True)
+    model = VAE(cfg)
+    toks0 = jnp.zeros((1, n_bars, 4, 32, 16, 2), jnp.int32)
+    mask0 = jnp.zeros((1, n_bars, 4, 32), bool).at[:, :, 0, 0].set(True)
+    variables = jax.jit(lambda: model.init(
+        {"params": jax.random.key(0), "sample": jax.random.key(1)},
+        toks0, mask0, deterministic=True))()
+    return cfg, model, variables
+
+
+def timed(fn, *args, rounds=5):
+    jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(rounds):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / rounds, out
+
+
+cfg2, model2, vars2 = build(2)
+
+# 1. single-sequence latency
+gen1 = make_generator(model2, vars2, pallas=PALLAS)
+z1 = jax.random.normal(jax.random.key(1), (1, cfg2.d))
+dt, _ = timed(gen1, z1, rounds=20)
+report["lmd2_uncond_n1_latency_ms"] = round(dt * 1e3, 3)
+
+# 4. batched n=256 (headline)
+z256 = jax.random.normal(jax.random.key(2), (256, cfg2.d))
+dt, out = timed(gen1, z256)
+report["lmd2_batched_n256_seq_s"] = round(256 / dt, 1)
+
+# host-side MIDI rendering throughput for the batch
+mask_np, tok_np = np.asarray(out[0]), np.asarray(out[1])
+t0 = time.perf_counter()
+songs = [song_from_tokens(tok_np[i], mask_np[i], cfg2.resolution)
+         for i in range(64)]
+report["midi_render_seq_s"] = round(64 / (time.perf_counter() - t0), 1)
+
+# 2. structure-conditioned
+s = load_structure_file("/root/reference/structure.json", 2, 4, 32)
+s_batch = jnp.asarray(np.broadcast_to(s, (256,) + s.shape))
+genc = make_generator(model2, vars2, conditioned=True, pallas=PALLAS)
+dt, _ = timed(genc, z256, s_batch)
+report["lmd2_conditioned_n256_seq_s"] = round(256 / dt, 1)
+
+# 3. LMD16 + 4x looping
+cfg16, model16, vars16 = build(16)
+gen16 = make_generator(model16, vars16, pallas=PALLAS)
+z16 = jax.random.normal(jax.random.key(3), (64, cfg16.d))
+dt, out16 = timed(gen16, z16)
+report["lmd16_n64_seq_s"] = round(64 / dt, 1)
+m16, t16 = np.asarray(out16[0]), np.asarray(out16[1])
+t0 = time.perf_counter()
+song = song_from_tokens(t16[0], m16[0], cfg16.resolution)
+looped = loop_song(song, 4, 16, cfg16.resolution)
+report["lmd16_loop4_render_ms"] = round((time.perf_counter() - t0) * 1e3, 2)
+
+# 5. training step (XLA path; accumulate to fit HBM)
+tcfg = TrainConfig(batch_size=256, model=cfg2, iters_to_accumulate=4)
+toks, mask = synthetic_batch(np.random.default_rng(0), 256, 2)
+toks, mask = jnp.asarray(toks), jnp.asarray(mask)
+state = create_train_state(model2, tcfg, jax.random.key(0), toks, mask)
+step = jax.jit(make_train_step(model2, tcfg, make_optimizer(tcfg)))
+jax.block_until_ready(step(state, toks, mask, jax.random.key(1)))
+t0 = time.perf_counter()
+for i in range(5):
+    state, losses, _ = step(state, toks, mask, jax.random.key(i))
+jax.block_until_ready(losses["tot"])
+dt = (time.perf_counter() - t0) / 5
+report["train_step_s"] = round(dt, 4)
+report["train_seq_s"] = round(256 / dt, 1)
+
+print(json.dumps(report, indent=2))
+with open("bench_report.json", "w") as f:
+    json.dump(report, f, indent=2)
