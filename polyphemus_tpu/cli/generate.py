@@ -69,24 +69,42 @@ def main(argv=None):
     mask_np = np.asarray(mask)
     tokens_np = np.asarray(tokens)
 
+    from .. import constants
+    from ..midi.fast_render import render_midi_bytes
+
+    programs = [0 if name == "Drums" else gen_cfg.midi_programs.get(name, 0)
+                for name in constants.TRACKS[:mc.n_tracks]]
+
     print(f"Saving MIDI files in {args.output_dir}...")
     for i in range(args.n):
         out_dir = os.path.join(args.output_dir, str(i))
-        song = G.song_from_tokens(tokens_np[i], mask_np[i], mc.resolution,
-                                  gen_cfg)
-        G.save_song(song, out_dir, "generated", audio=not args.no_audio,
-                    soundfont_path=gen_cfg.soundfont_path)
-        if args.n_loops > 1:
-            looped = loop_song(song, args.n_loops, mc.n_bars, mc.resolution)
-            G.save_song(looped, out_dir, "extended",
-                        audio=not args.no_audio,
-                        soundfont_path=gen_cfg.soundfont_path)
+        os.makedirs(out_dir, exist_ok=True)
+        song = None
+        for name, loops in (("generated", 1),) + (
+                (("extended", args.n_loops),) if args.n_loops > 1 else ()):
+            raw = render_midi_bytes(tokens_np[i], mask_np[i], mc.resolution,
+                                    programs=programs, n_loops=loops)
+            midi_path = os.path.join(out_dir, name + ".mid")
+            if raw is not None:  # native fast path
+                with open(midi_path, "wb") as f:
+                    f.write(raw)
+                if not args.no_audio:
+                    G.synthesize_audio(midi_path, gen_cfg.soundfont_path)
+            else:  # pure-Python fallback
+                song = song or G.song_from_tokens(
+                    tokens_np[i], mask_np[i], mc.resolution, gen_cfg)
+                s = song if loops == 1 else loop_song(
+                    song, loops, mc.n_bars, mc.resolution)
+                G.save_song(s, out_dir, name, audio=not args.no_audio,
+                            soundfont_path=gen_cfg.soundfont_path)
         if args.plot_struct or args.plot_proll:
             from .. import plotting
 
             if args.plot_struct:
                 plotting.plot_structure(mask_np[i], out_dir)
             if args.plot_proll:
+                song = song or G.song_from_tokens(
+                    tokens_np[i], mask_np[i], mc.resolution, gen_cfg)
                 plotting.plot_pianoroll(song, out_dir)
     print("Finished saving MIDI files.")
 

@@ -187,28 +187,32 @@ def load_structure_file(path: str, n_bars: int, n_tracks: int,
     return s
 
 
-def save_song(song: Song, out_dir: str, name: str, *, audio: bool = False,
-              soundfont_path: Optional[str] = None) -> None:
-    """Write <name>.mid (+ .wav via external fluidsynth when requested and
-    available — the synth itself is a host tool, as in the reference's
-    muspy.write_audio -> fluidsynth chain)."""
+def synthesize_audio(midi_path: str, soundfont_path: Optional[str]) -> bool:
+    """<file>.mid -> <file>.wav via external fluidsynth (the synth stays a
+    host tool, as in the reference's muspy.write_audio chain). Returns
+    whether a wav was produced."""
     import shutil
     import subprocess
 
+    fs = shutil.which("fluidsynth")
+    if fs is None or soundfont_path is None \
+            or not os.path.exists(soundfont_path):
+        print(f"[generate] audio skipped for {os.path.basename(midi_path)} "
+              "(fluidsynth or soundfont unavailable)")
+        return False
+    wav_path = os.path.splitext(midi_path)[0] + ".wav"
+    subprocess.run([fs, "-ni", soundfont_path, midi_path, "-F", wav_path,
+                    "-r", "44100"], check=False, capture_output=True)
+    return os.path.exists(wav_path)
+
+
+def save_song(song: Song, out_dir: str, name: str, *, audio: bool = False,
+              soundfont_path: Optional[str] = None) -> None:
+    """Write <name>.mid (+ .wav when requested and fluidsynth available)."""
     from .midi.writer import write_midi
 
     os.makedirs(out_dir, exist_ok=True)
     midi_path = os.path.join(out_dir, name + ".mid")
     write_midi(midi_path, song)
     if audio:
-        fs = shutil.which("fluidsynth")
-        if fs is None or soundfont_path is None \
-                or not os.path.exists(soundfont_path):
-            print(f"[generate] audio skipped for {name} "
-                  "(fluidsynth or soundfont unavailable)")
-            return
-        wav_path = os.path.join(out_dir, name + ".wav")
-        subprocess.run(
-            [fs, "-ni", soundfont_path, midi_path, "-F", wav_path,
-             "-r", "44100"],
-            check=False, capture_output=True)
+        synthesize_audio(midi_path, soundfont_path)
