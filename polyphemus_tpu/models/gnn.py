@@ -71,10 +71,8 @@ class GCN(nn.Module):
                 self.dim, self.dim, self.num_relations,
                 name=f"layers_{i}")()
             if self.use_pallas:
-                wbig = gcl_pallas.pack_weights(rel_weight, root, n_tracks,
-                                               dtype=x.dtype)
-                x = gcl_pallas.gcl_apply_pallas(
-                    x, aux, gate_table, wbig, bias.astype(x.dtype))
+                x = gcl_pallas.gcl_fused(x, gate_table, rel_weight, root,
+                                         bias, aux, mask)
             else:
                 x = lattice.gcl_apply(x, mask, nbr, gate_table, rel_weight,
                                       root, bias)

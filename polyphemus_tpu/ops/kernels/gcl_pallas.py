@@ -237,3 +237,47 @@ def gcl_apply_pallas(x, aux, gate_table, wbig, bias, *,
     if pad:
         out = out[:nbar]
     return out.reshape(lead + (t, s, d))
+
+
+# --------------------------------------------------------------- differentiable
+def _float0_like(x):
+    return np.zeros(x.shape, jax.dtypes.float0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def gcl_fused(x, gate_table, rel_weight, root, bias, aux, mask):
+    """Differentiable fused GCL: Pallas forward, XLA-lattice backward.
+
+    Same semantics as lattice.gcl_apply; the backward pass re-derives the
+    layer via jax.vjp of the XLA formulation (recompute, no saved message
+    intermediates). mask/aux receive float0 cotangents.
+    """
+    wbig = pack_weights(rel_weight, root, mask.shape[-2], dtype=x.dtype)
+    return gcl_apply_pallas(x, aux, gate_table, wbig, bias.astype(x.dtype))
+
+
+def _gcl_fused_fwd(x, gate_table, rel_weight, root, bias, aux, mask):
+    out = gcl_fused(x, gate_table, rel_weight, root, bias, aux, mask)
+    return out, (x, gate_table, rel_weight, root, bias, mask)
+
+
+def _gcl_fused_bwd(res, g):
+    x, gate_table, rel_weight, root, bias, mask = res
+    nbr = lattice.build_neighbors(mask)
+
+    def ref(x_, gt_, w_, r_, b_):
+        return lattice.gcl_apply(x_, mask, nbr, gt_, w_, r_, b_)
+
+    _, vjp = jax.vjp(ref, x, gate_table, rel_weight, root, bias)
+    dx, dgt, dw, dr, db = vjp(g)
+    return dx, dgt, dw, dr, db, _float0_like(aux_placeholder(mask)), \
+        _float0_like(mask)
+
+
+def aux_placeholder(mask):
+    """Shape-only stand-in for the aux cotangent (int32)."""
+    t, s = mask.shape[-2], mask.shape[-1]
+    return jnp.zeros(mask.shape[:-2] + (N_AUX, t * s), jnp.int32)
+
+
+gcl_fused.defvjp(_gcl_fused_fwd, _gcl_fused_bwd)
