@@ -31,6 +31,10 @@ def main(argv=None):
     p.add_argument("--s_file", type=str,
                    help="JSON file with a binary structure tensor.")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--z_file", type=str, default=None,
+                   help="Load latent z from a .npy file (n, d) instead of "
+                        "sampling — e.g. a torch-generated z for parity "
+                        "checks against the reference.")
     p.add_argument("--gen_config", type=str, default=None,
                    help="YAML/JSON with MIDI_PROGRAMS / SOUNDFONT_PATH.")
     p.add_argument("--plot_struct", action="store_true", default=False)
@@ -49,8 +53,14 @@ def main(argv=None):
                                   mc.n_timesteps)
         s_batch = np.broadcast_to(s, (args.n,) + s.shape).copy()
 
-    print("Generating z...")
-    z = G.generate_z(args.seed, args.n, mc.d)
+    if args.z_file is not None:
+        print(f"Loading z from {args.z_file}...")
+        z = np.load(args.z_file).astype(np.float32)
+        if z.shape != (args.n, mc.d):
+            raise ValueError(f"z file shape {z.shape} != ({args.n}, {mc.d})")
+    else:
+        print("Generating z...")
+        z = G.generate_z(args.seed, args.n, mc.d)
 
     print("Generating music with the model...")
     gen = G.make_generator(model, variables, conditioned=s_batch is not None)

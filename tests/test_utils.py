@@ -1,0 +1,52 @@
+"""Utility coverage: param table, step timer, plotting from metadata."""
+import json
+
+import numpy as np
+
+from polyphemus_tpu import plotting
+from polyphemus_tpu.utils import StepTimer, param_count, print_params, set_seed
+
+
+def test_print_params():
+    tree = {"a": {"kernel": np.zeros((3, 4)), "bias": np.zeros(4)},
+            "b": {"kernel": np.zeros((4, 2))}}
+    lines = []
+    total = print_params(tree, log_fn=lines.append)
+    assert total == 12 + 4 + 8 == param_count(tree)
+    assert any("a.kernel" in ln for ln in lines)
+    assert any("24" in ln for ln in lines)
+
+
+def test_step_timer():
+    t = StepTimer(window=3)
+    assert t.tick() is None
+    for _ in range(5):
+        dt = t.tick()
+        assert dt is not None and dt >= 0
+    assert len(t.times) == 3
+    assert t.steps_per_sec > 0
+
+
+def test_set_seed_reproducible():
+    set_seed(7)
+    a = np.random.rand(3)
+    set_seed(7)
+    b = np.random.rand(3)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_plot_losses_and_accs(tmp_path):
+    meta = {
+        "tr_losses": {"tot": [3.0, 2.5, 2.0], "pitch": [1.0, 0.9, 0.8]},
+        "tr_accuracies": {"note": [0.1, 0.2, 0.3]},
+        "val_losses": {"tot": [2.6]},
+        "val_accuracies": {"note": [0.25]},
+    }
+    with open(tmp_path / "checkpoint.json", "w") as f:
+        json.dump(meta, f)
+    plotting.plot_losses(str(tmp_path), ["tot", "pitch"], plot_val=True,
+                         save_path=str(tmp_path / "l.png"))
+    plotting.plot_accuracies(str(tmp_path), ["note"], plot_val=True,
+                             save_path=str(tmp_path / "a.png"))
+    assert (tmp_path / "l.png").exists()
+    assert (tmp_path / "a.png").exists()
