@@ -181,7 +181,7 @@ def _kernel(aux_ref, x_ref, gates_ref, wbig_ref, bias_ref, out_ref,
 
 
 def gcl_apply_pallas(x, aux, gate_table, wbig, bias, *,
-                     bars_per_block: int = 8, interpret: bool | None = None):
+                     bars_per_block: int = 4, interpret: bool | None = None):
     """Fused GCL layer.
 
     x: (..., T, S, d) masked node states; aux from build_kernel_aux (same
