@@ -262,16 +262,23 @@ def _gcl_fused_fwd(x, gate_table, rel_weight, root, bias, aux, mask):
 
 
 def _gcl_fused_bwd(res, g):
+    from . import gcl_pallas_bwd
+
     x, gate_table, rel_weight, root, bias, mask = res
-    nbr = lattice.build_neighbors(mask)
-
-    def ref(x_, gt_, w_, r_, b_):
-        return lattice.gcl_apply(x_, mask, nbr, gt_, w_, r_, b_)
-
-    _, vjp = jax.vjp(ref, x, gate_table, rel_weight, root, bias)
-    dx, dgt, dw, dr, db = vjp(g)
-    return dx, dgt, dw, dr, db, _float0_like(aux_placeholder(mask)), \
-        _float0_like(mask)
+    n_tracks = mask.shape[-2]
+    d = x.shape[-1]
+    aux = build_kernel_aux(mask)
+    wbig = pack_weights(rel_weight, root, n_tracks, dtype=x.dtype)
+    dx, dgt, dwbig, dbias = gcl_pallas_bwd.gcl_backward_pallas(
+        x, aux, gate_table.astype(x.dtype), wbig, g)
+    blocks = [dwbig[i * d:(i + 1) * d] for i in range(8)]
+    d_rel = jnp.stack([blocks[0] + blocks[n_tracks]] + blocks[1:n_tracks]
+                      + blocks[n_tracks + 1:n_tracks + 3])
+    droot = blocks[n_tracks + 3]
+    return (dx.astype(x.dtype), dgt.astype(gate_table.dtype),
+            d_rel.astype(rel_weight.dtype), droot.astype(root.dtype),
+            dbias.astype(bias.dtype), _float0_like(aux),
+            _float0_like(mask))
 
 
 def aux_placeholder(mask):

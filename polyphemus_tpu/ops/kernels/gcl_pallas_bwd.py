@@ -1,0 +1,348 @@
+"""Pallas backward kernels for the fused lattice GCL.
+
+Forward (gcl_pallas._kernel):
+    msg_p = relu((P x) * Gp),  msg_n = relu((N x) * Gn)
+    h_track = (msg_p + msg_n) * r_tr * m
+    y0 = relu(x * g0) * m
+    h_onset = (C y0 - y0) * r_on * m
+    z = relu((Pn x) * Gpn)            (source-masked via the selection)
+    h_next = (C z - z) * r_nx * m
+    h_self = y0 * single
+    out = [RowMask_t h_track | h_self | h_onset | h_next | x] @ Wbig + b, * m
+
+Backward splits into two kernels:
+
+  * kernel A (per bar block): dx, dG (gate table), dbias. Needs Wbig
+    resident; recomputes the pre-activations for the relu masks; all
+    transposed gathers are directly-built transposed selection matmuls.
+  * kernel B (grid = (8 weight blocks, bar blocks)): dWbig. Each j-block
+    recomputes only the h needed for that weight block and accumulates
+    h^T @ g in a VMEM-resident (d, d) accumulator (j is the slow grid axis
+    so revisits are consecutive).
+
+Everything is verified against jax.grad of the XLA lattice path in
+interpret mode (tests/test_pallas_grad.py).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .gcl_pallas import (CNT_NX, CNT_ON, DIST_N, DIST_P, DIST_PN, MASK_CH,
+                         MSRC, N_AUX, NEXT_SRC, OK_N, OK_P, OK_PN, PN_SRC,
+                         PREV_SRC, SINGLE)
+
+F32 = jnp.float32
+
+
+def _common(aux_ref, b, n, n_steps):
+    """Shared per-bar selection helpers (f32 math for exact relu masks)."""
+    src_j = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    dst_j = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    col_i = dst_j % n_steps
+    col_j = src_j % n_steps
+    a_col = (col_i == col_j).astype(F32)
+    dist_cols = jax.lax.broadcasted_iota(jnp.int32, (n, n_steps), 1)
+    dist_rows = jax.lax.broadcasted_iota(jnp.int32, (n_steps, n), 0)
+
+    def ch(c):
+        return aux_ref[b, c][:, None]  # (n, 1) int32
+
+    def ch_row(c):
+        return aux_ref[b, c][None, :]  # (1, n) int32
+
+    def sel(idx_col, ok_col):
+        return ((src_j == idx_col) & (ok_col > 0)).astype(F32)
+
+    def sel_t(idx_row, ok_row):
+        # transposed selection: selT[j, i] = (j == idx[i]) & ok[i]
+        return ((dst_j == idx_row) & (ok_row > 0)).astype(F32)
+
+    def seld(dist_col, ok_col):
+        return ((dist_cols == dist_col) & (ok_col > 0)).astype(F32)
+
+    def seld_t(dist_row, ok_row):
+        return ((dist_rows == dist_row) & (ok_row > 0)).astype(F32)
+
+    def recip(cnt_i, valid_i):
+        r = 1.0 / jnp.maximum(cnt_i.astype(F32), 1.0)
+        return jnp.where(valid_i, r, 0.0)
+
+    return ch, ch_row, sel, sel_t, seld, seld_t, recip, a_col
+
+
+def _bwd_data_kernel(aux_ref, x_ref, g_ref, gates_ref, wbig_ref,
+                     dx_ref, dg_ref, dbias_ref,
+                     *, bars_per_block: int, n_tracks: int, n_steps: int,
+                     d: int):
+    n = n_tracks * n_steps
+    first = pl.program_id(0) == 0
+
+    @pl.when(first)
+    def _():
+        dg_ref[...] = jnp.zeros_like(dg_ref)
+        dbias_ref[...] = jnp.zeros_like(dbias_ref)
+
+    gates = gates_ref[:].astype(F32)
+    g0 = gates[0:1, :]
+    wbig = wbig_ref[:]  # (8d, d) compute dtype
+
+    for b in range(bars_per_block):
+        (ch, ch_row, sel, sel_t, seld, seld_t, recip, a_col) = _common(
+            aux_ref, b, n, n_steps)
+        x = x_ref[b].astype(F32)
+        m = (ch(MASK_CH) > 0).astype(F32)
+        g = g_ref[b].astype(F32) * m
+
+        # dHbig = g @ Wbig^T, computed per 512-block via dot_general with
+        # contraction on Wbig's output dim (no transpose materialization).
+        def dh(block):
+            wblk = wbig[block * d:(block + 1) * d].astype(F32)  # (d, d)
+            return jax.lax.dot_general(
+                g, wblk, (((1,), (1,)), ((), ())),
+                preferred_element_type=F32)  # (n, d)
+
+        row_t = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0) // n_steps
+        dh_track = jnp.zeros((n, d), F32)
+        for t in range(n_tracks):
+            dh_track += dh(t) * (row_t == t).astype(F32)
+        dh_self = dh(n_tracks)
+        dh_onset = dh(n_tracks + 1)
+        dh_next = dh(n_tracks + 2)
+        dx = dh(n_tracks + 3)  # root path
+
+        dbias_ref[...] += jnp.sum(g, axis=0, keepdims=True).astype(
+            dbias_ref.dtype)
+
+        # ---- TRACK path --------------------------------------------------
+        ok_p, ok_n = ch(OK_P), ch(OK_N)
+        cnt_i = ok_p + ok_n
+        dmsg = dh_track * recip(cnt_i, cnt_i > 0) * m  # same for p and n
+        for idx_c, dist_c, ok_c in ((PREV_SRC, DIST_P, OK_P),
+                                    (NEXT_SRC, DIST_N, OK_N)):
+            ok = ch(ok_c)
+            s_m = sel(ch(idx_c), ok)
+            xg = jax.lax.dot(s_m, x, preferred_element_type=F32)
+            sd = seld(ch(dist_c), ok)
+            gr = jax.lax.dot(sd, gates, preferred_element_type=F32)
+            pre = xg * gr
+            dpre = dmsg * (pre > 0).astype(F32)
+            # dx += P^T (dpre * gr)
+            st = sel_t(ch_row(idx_c), ch_row(ok_c))
+            dx += jax.lax.dot(st, dpre * gr, preferred_element_type=F32)
+            # dG += selD^T (dpre * xg)
+            sdt = seld_t(ch_row(dist_c), ch_row(ok_c))
+            dg_ref[...] += jax.lax.dot(
+                sdt, dpre * xg, preferred_element_type=F32
+            ).astype(dg_ref.dtype)
+
+        # ---- ONSET + SELF path --------------------------------------------
+        cnt_on_i = ch(CNT_ON)
+        r_on = recip(cnt_on_i, cnt_on_i > 0)
+        dcol = dh_onset * r_on * m
+        dy0 = (jax.lax.dot(a_col, dcol, preferred_element_type=F32) - dcol)
+        single = ch(SINGLE).astype(F32)
+        dy0 += dh_self * single
+        pre0 = x * g0
+        dpre0 = dy0 * m * (pre0 > 0).astype(F32)
+        dx += dpre0 * g0
+        dg_row0 = jnp.sum(dpre0 * x, axis=0, keepdims=True)  # (1, d)
+        dg_ref[0:1, :] += dg_row0.astype(dg_ref.dtype)
+
+        # ---- NEXT path ------------------------------------------------------
+        ok_pn_src = ((ch(OK_PN) > 0) & (ch(MSRC) > 0)).astype(jnp.int32)
+        cnt_nx_i = ch(CNT_NX)
+        valid_nx = (ch(OK_PN) > 0) & (cnt_nx_i > 0)
+        dnx = dh_next * recip(cnt_nx_i, valid_nx) * m
+        dz = jax.lax.dot(a_col, dnx, preferred_element_type=F32) - dnx
+        s_pn = sel(ch(PN_SRC), ok_pn_src)
+        xg_pn = jax.lax.dot(s_pn, x, preferred_element_type=F32)
+        sd_pn = seld(ch(DIST_PN), ok_pn_src)
+        gr_pn = jax.lax.dot(sd_pn, gates, preferred_element_type=F32)
+        pre_pn = xg_pn * gr_pn
+        dpre_pn = dz * (pre_pn > 0).astype(F32)
+        ok_pn_row = ((ch_row(OK_PN) > 0) & (ch_row(MSRC) > 0)).astype(
+            jnp.int32)
+        st_pn = sel_t(ch_row(PN_SRC), ok_pn_row)
+        dx += jax.lax.dot(st_pn, dpre_pn * gr_pn, preferred_element_type=F32)
+        sdt_pn = seld_t(ch_row(DIST_PN), ok_pn_row)
+        dg_ref[...] += jax.lax.dot(
+            sdt_pn, dpre_pn * xg_pn, preferred_element_type=F32
+        ).astype(dg_ref.dtype)
+
+        dx_ref[b] = dx.astype(dx_ref.dtype)
+
+
+def _bwd_weight_kernel(aux_ref, x_ref, g_ref, gates_ref, dw_ref,
+                       *, bars_per_block: int, n_tracks: int, n_steps: int,
+                       d: int):
+    """grid = (8, nblocks): j (weight block) is the slow axis, so the (d, d)
+    accumulator block stays in VMEM across all bar blocks."""
+    n = n_tracks * n_steps
+    j = pl.program_id(0)
+    first_bar_block = pl.program_id(1) == 0
+
+    @pl.when(first_bar_block)
+    def _():
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+
+    gates = gates_ref[:].astype(F32)
+    g0 = gates[0:1, :]
+
+    acc = jnp.zeros((d, d), F32)
+    for b in range(bars_per_block):
+        (ch, ch_row, sel, sel_t, seld, seld_t, recip, a_col) = _common(
+            aux_ref, b, n, n_steps)
+        x = x_ref[b].astype(F32)
+        m = (ch(MASK_CH) > 0).astype(F32)
+        g = g_ref[b].astype(F32) * m
+
+        def h_track():
+            ok_p, ok_n = ch(OK_P), ch(OK_N)
+            parts = jnp.zeros((n, d), F32)
+            for idx_c, dist_c, ok_c in ((PREV_SRC, DIST_P, OK_P),
+                                        (NEXT_SRC, DIST_N, OK_N)):
+                ok = ch(ok_c)
+                xg = jax.lax.dot(sel(ch(idx_c), ok), x,
+                                 preferred_element_type=F32)
+                gr = jax.lax.dot(seld(ch(dist_c), ok), gates,
+                                 preferred_element_type=F32)
+                parts += jax.nn.relu(xg * gr)
+            cnt_i = ok_p + ok_n
+            return parts * recip(cnt_i, cnt_i > 0) * m
+
+        def y0():
+            return jax.nn.relu(x * g0) * m
+
+        def h_onset():
+            y = y0()
+            cnt_on_i = ch(CNT_ON)
+            col_sum = jax.lax.dot(a_col, y, preferred_element_type=F32)
+            return (col_sum - y) * recip(cnt_on_i, cnt_on_i > 0) * m
+
+        def h_next():
+            ok_pn = ((ch(OK_PN) > 0) & (ch(MSRC) > 0)).astype(jnp.int32)
+            xg = jax.lax.dot(sel(ch(PN_SRC), ok_pn), x,
+                             preferred_element_type=F32)
+            gr = jax.lax.dot(seld(ch(DIST_PN), ok_pn), gates,
+                             preferred_element_type=F32)
+            z = jax.nn.relu(xg * gr)
+            z_sum = jax.lax.dot(a_col, z, preferred_element_type=F32)
+            cnt_nx_i = ch(CNT_NX)
+            valid = (ch(OK_PN) > 0) & (cnt_nx_i > 0)
+            return (z_sum - z) * recip(cnt_nx_i, valid) * m
+
+        row_t = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0) // n_steps
+
+        # select h for this weight block j without data-dependent branching:
+        # j in 0..3 -> row-masked h_track; 4 -> h_self; 5 -> onset; 6 -> next;
+        # 7 -> x (root).
+        def branch_track(t):
+            return lambda: h_track() * (row_t == t).astype(F32)
+
+        h = jax.lax.switch(j, [
+            branch_track(0), branch_track(1), branch_track(2),
+            branch_track(3),
+            lambda: y0() * ch(SINGLE).astype(F32),
+            h_onset,
+            h_next,
+            lambda: x,
+        ])
+        acc += jax.lax.dot_general(h, g, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=F32)
+    dw_ref[...] += acc.astype(dw_ref.dtype)
+
+
+def gcl_backward_pallas(x, aux, gate_table, wbig, g, *,
+                        bars_per_block_data: int = 2,
+                        bars_per_block_w: int = 4,
+                        interpret: bool | None = None):
+    """Returns (dx, dgate_table, dwbig, dbias) for the fused GCL layer.
+
+    x, g: (..., T, S, d); aux: (..., N_AUX, T*S); wbig: (8d, d) as packed by
+    pack_weights. Gradients accumulate in f32 and are returned in f32.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    lead = x.shape[:-3]
+    t, s, d = x.shape[-3], x.shape[-2], x.shape[-1]
+    n = t * s
+    nbar = int(np.prod(lead)) if lead else 1
+    xf = x.reshape(nbar, n, d)
+    gf = g.reshape(nbar, n, d)
+    auxf = aux.reshape(nbar, N_AUX, n)
+
+    def padded(bb):
+        pad = (-nbar) % bb
+        if pad:
+            xp = jnp.concatenate([xf, jnp.zeros((pad, n, d), xf.dtype)], 0)
+            gp = jnp.concatenate([gf, jnp.zeros((pad, n, d), gf.dtype)], 0)
+            ap = jnp.concatenate(
+                [auxf, jnp.zeros((pad, N_AUX, n), auxf.dtype)], 0)
+            return xp, gp, ap, (nbar + pad) // bb
+        return xf, gf, auxf, nbar // bb
+
+    # kernel A: dx, dG, dbias
+    bb = bars_per_block_data
+    xp, gp, ap, nblocks = padded(bb)
+    kern_a = functools.partial(_bwd_data_kernel, bars_per_block=bb,
+                               n_tracks=t, n_steps=s, d=d)
+    dx, dg, dbias = pl.pallas_call(
+        kern_a,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((bb, N_AUX, n), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, n, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, n, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((s, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8 * d, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bb, n, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((s, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nblocks * bb, n, d), jnp.float32),
+            jax.ShapeDtypeStruct((s, d), jnp.float32),
+            jax.ShapeDtypeStruct((1, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(ap, xp, gp, gate_table, wbig)
+
+    # kernel B: dWbig
+    bbw = bars_per_block_w
+    xp, gp, ap, nblocks_w = padded(bbw)
+    kern_b = functools.partial(_bwd_weight_kernel, bars_per_block=bbw,
+                               n_tracks=t, n_steps=s, d=d)
+    dwbig = pl.pallas_call(
+        kern_b,
+        grid=(8, nblocks_w),
+        in_specs=[
+            pl.BlockSpec((bbw, N_AUX, n), lambda j, i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bbw, n, d), lambda j, i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bbw, n, d), lambda j, i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((s, d), lambda j, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((d, d), lambda j, i: (j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8 * d, d), jnp.float32),
+        interpret=interpret,
+    )(ap, xp, gp, gate_table)
+
+    dx = dx[:nbar].reshape(lead + (t, s, d)).astype(x.dtype)
+    return dx, dg, dwbig, dbias[0]
