@@ -100,7 +100,8 @@ looped = loop_song(song, 4, 16, cfg16.resolution)
 report["lmd16_loop4_render_ms"] = round((time.perf_counter() - t0) * 1e3, 2)
 
 # 5. training step (XLA path; accumulate to fit HBM)
-tcfg = TrainConfig(batch_size=256, model=cfg2, iters_to_accumulate=4)
+tcfg = TrainConfig(batch_size=256, iters_to_accumulate=4,
+                   model=__import__("dataclasses").replace(cfg2, use_pallas_gcl=PALLAS))
 toks, mask = synthetic_batch(np.random.default_rng(0), 256, 2)
 toks, mask = jnp.asarray(toks), jnp.asarray(mask)
 state = create_train_state(model2, tcfg, jax.random.key(0), toks, mask)
