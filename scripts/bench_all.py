@@ -99,13 +99,16 @@ song = song_from_tokens(t16[0], m16[0], cfg16.resolution)
 looped = loop_song(song, 4, 16, cfg16.resolution)
 report["lmd16_loop4_render_ms"] = round((time.perf_counter() - t0) * 1e3, 2)
 
-# 5. training step (XLA path; accumulate to fit HBM)
-tcfg = TrainConfig(batch_size=256, iters_to_accumulate=4,
-                   model=__import__("dataclasses").replace(cfg2, use_pallas_gcl=PALLAS))
+# 5. training step (fused Pallas kernels; accumulate to fit HBM)
+import dataclasses
+
+mcfg_tr = dataclasses.replace(cfg2, use_pallas_gcl=PALLAS)
+model_tr = VAE(mcfg_tr)
+tcfg = TrainConfig(batch_size=256, iters_to_accumulate=4, model=mcfg_tr)
 toks, mask = synthetic_batch(np.random.default_rng(0), 256, 2)
 toks, mask = jnp.asarray(toks), jnp.asarray(mask)
-state = create_train_state(model2, tcfg, jax.random.key(0), toks, mask)
-step = jax.jit(make_train_step(model2, tcfg, make_optimizer(tcfg)))
+state = create_train_state(model_tr, tcfg, jax.random.key(0), toks, mask)
+step = jax.jit(make_train_step(model_tr, tcfg, make_optimizer(tcfg)))
 jax.block_until_ready(step(state, toks, mask, jax.random.key(1)))
 t0 = time.perf_counter()
 for i in range(5):
