@@ -39,6 +39,16 @@ def main(argv=None):
                    help="YAML/JSON with MIDI_PROGRAMS / SOUNDFONT_PATH.")
     p.add_argument("--plot_struct", action="store_true", default=False)
     p.add_argument("--plot_proll", action="store_true", default=False)
+    p.add_argument("--no_pallas", action="store_true", default=False,
+                   help="Disable the fused TPU kernel (use plain XLA).")
+    p.add_argument("--bf16", action="store_true", default=False,
+                   help="bfloat16 decode (faster; ~1%% token deviation).")
+    p.add_argument("--s_temp", type=float, default=0.0,
+                   help="Structure sampling temperature (0 = reference "
+                        "hard threshold).")
+    p.add_argument("--c_temp", type=float, default=0.0,
+                   help="Content sampling temperature (0 = reference "
+                        "argmax).")
     args = p.parse_args(argv)
 
     gen_cfg = GenerationConfig.load(args.gen_config)
@@ -63,7 +73,12 @@ def main(argv=None):
         z = G.generate_z(args.seed, args.n, mc.d)
 
     print("Generating music with the model...")
-    gen = G.make_generator(model, variables, conditioned=s_batch is not None)
+    use_pallas = jax.default_backend() == "tpu" and not args.no_pallas
+    gen = G.make_generator(model, variables, conditioned=s_batch is not None,
+                           bf16=args.bf16, pallas=use_pallas,
+                           structure_temp=args.s_temp,
+                           content_temp=args.c_temp,
+                           sample_seed=args.seed)
     # compile excluded from the timed run (one-time cost)
     if s_batch is not None:
         jax.block_until_ready(gen(z, s_batch))

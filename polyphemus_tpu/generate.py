@@ -70,7 +70,8 @@ def _tokens_from_logits(c_logits):
 
 def make_generator(model: VAE, variables, *, conditioned: bool = False,
                    return_logits: bool = False, bf16: bool = False,
-                   pallas: bool = False):
+                   pallas: bool = False, structure_temp: float = 0.0,
+                   content_temp: float = 0.0, sample_seed: int = 0):
     """Build the jitted z->music function.
 
     Returns fn(z[, mask]) -> (mask, tokens) (+ (s_logits, c_logits) when
@@ -100,9 +101,13 @@ def make_generator(model: VAE, variables, *, conditioned: bool = False,
                 variables, z, mask, method=VAE.decode)
             return used_mask, _tokens_from_logits(c_logits), s_logits, \
                 c_logits
-        # fused unembed+argmax path: logits never materialize
+        # fused unembed + argmax/sampling path: logits never materialize
+        rngs = ({"gen": jax.random.key(sample_seed)}
+                if (structure_temp > 0 or content_temp > 0) else None)
         s_logits, tokens, used_mask = model.apply(
-            variables, z, mask, method=VAE.decode_tokens)
+            variables, z, mask, method=VAE.decode_tokens,
+            structure_temp=structure_temp, content_temp=content_temp,
+            rngs=rngs)
         return used_mask, tokens
 
     if conditioned:

@@ -209,7 +209,7 @@ class ContentDecoder(nn.Module):
 
     @nn.compact
     def __call__(self, z_c, mask, nbr, *, deterministic: bool,
-                 emit: str = "logits"):
+                 emit: str = "logits", temperature: float = 0.0):
         cfg = self.cfg
         d, h = cfg.d, cfg.d // 2
         n_slots = constants.MAX_SIMU_TOKENS - 1
@@ -260,16 +260,33 @@ class ContentDecoder(nn.Module):
         w_slots = jnp.moveaxis(w_slots, 1, 0)  # (n_slots, d, d)
         b_slots = cb.reshape(n_slots, d)
 
-        def body(_, wb):
-            w, b = wb
-            slot_h = x @ w + b
-            pitch, dur = unembed(slot_h)
-            ids = jnp.stack(
-                [jnp.argmax(pitch, axis=-1), jnp.argmax(dur, axis=-1)],
-                axis=-1).astype(jnp.int32)
-            return None, ids
+        if temperature > 0:
+            slot_rngs = jax.random.split(self.make_rng("gen"), n_slots)
 
-        _, ids = jax.lax.scan(body, None, (w_slots, b_slots))
+            def body(_, wb):
+                w, b, rng = wb
+                slot_h = x @ w + b
+                pitch, dur = unembed(slot_h)
+                rp, rd = jax.random.split(rng)
+                ids = jnp.stack(
+                    [jax.random.categorical(rp, pitch / temperature),
+                     jax.random.categorical(rd, dur / temperature)],
+                    axis=-1).astype(jnp.int32)
+                return None, ids
+
+            _, ids = jax.lax.scan(body, None,
+                                  (w_slots, b_slots, slot_rngs))
+        else:
+            def body(_, wb):
+                w, b = wb
+                slot_h = x @ w + b
+                pitch, dur = unembed(slot_h)
+                ids = jnp.stack(
+                    [jnp.argmax(pitch, axis=-1), jnp.argmax(dur, axis=-1)],
+                    axis=-1).astype(jnp.int32)
+                return None, ids
+
+            _, ids = jax.lax.scan(body, None, (w_slots, b_slots))
         return jnp.moveaxis(ids, 0, -2)  # (B, nb, T, S, n_slots, 2)
 
 
@@ -282,7 +299,8 @@ class Decoder(nn.Module):
 
     @nn.compact
     def __call__(self, z, mask: Optional[jax.Array] = None, *,
-                 deterministic: bool, emit: str = "logits"):
+                 deterministic: bool, emit: str = "logits",
+                 structure_temp: float = 0.0, content_temp: float = 0.0):
         cfg = self.cfg
         z = nn.Dense(2 * cfg.d, name="lin_decoder")(z)
         z = MaskedBatchNorm(2 * cfg.d, name="batch_norm")(
@@ -295,14 +313,21 @@ class Decoder(nn.Module):
             z_s, deterministic=deterministic)
 
         if mask is None:
-            # Hard threshold (reference model.py:609-623), no gradient.
-            probs = jax.nn.sigmoid(jax.lax.stop_gradient(s_logits))
-            mask = probs >= self.sigmoid_thresh
+            raw = jax.lax.stop_gradient(s_logits)
+            if structure_temp > 0:
+                # Bernoulli sampling with temperature (beyond-reference
+                # extension; the reference only hard-thresholds).
+                probs = jax.nn.sigmoid(raw / structure_temp)
+                mask = jax.random.bernoulli(self.make_rng("gen"), probs)
+            else:
+                # Hard threshold (reference model.py:609-623), no gradient.
+                mask = jax.nn.sigmoid(raw) >= self.sigmoid_thresh
             mask = lattice.ensure_nonempty_bars(mask)
 
         nbr = lattice.build_neighbors(mask)
         c_out = ContentDecoder(cfg, name="c_decoder")(
-            z_c, mask, nbr, deterministic=deterministic, emit=emit)
+            z_c, mask, nbr, deterministic=deterministic, emit=emit,
+            temperature=content_temp)
         return s_logits, c_out, mask
 
 
@@ -336,8 +361,14 @@ class VAE(nn.Module):
         return self.decoder(z, mask, deterministic=deterministic)
 
     def decode_tokens(self, z, mask: Optional[jax.Array] = None, *,
-                      deterministic: bool = True):
+                      deterministic: bool = True,
+                      structure_temp: float = 0.0,
+                      content_temp: float = 0.0):
         """Generation fast path: (s_logits, token_ids, mask) with the
-        unembed+argmax fused per slot (no logits materialization)."""
+        unembed + argmax/sampling fused per slot (no logits
+        materialization). Temperatures of 0 reproduce the reference's
+        deterministic threshold/argmax decoding; >0 samples (needs a 'gen'
+        rng)."""
         return self.decoder(z, mask, deterministic=deterministic,
-                            emit="tokens")
+                            emit="tokens", structure_temp=structure_temp,
+                            content_temp=content_temp)
