@@ -78,6 +78,7 @@ def main(argv=None):
     valid_loader = (BatchLoader(vl_set, cfg.batch_size, shuffle=False,
                                 num_workers=args.num_workers)
                     if vl_set is not None else None)
+    # (device prefetch is attached after the Trainer/mesh exist)
 
     model_name = args.model_name or str(uuid.uuid1())
     model_dir = os.path.join(args.output_dir, model_name)
@@ -88,7 +89,7 @@ def main(argv=None):
     from ..parallel.mesh import maybe_initialize_distributed
 
     maybe_initialize_distributed()
-    mesh = make_mesh(cfg.parallel.model_axis)
+    mesh = make_mesh(cfg.parallel.model_axis, batch_size=cfg.batch_size)
     print(f"Devices: {jax.device_count()} mesh={dict(mesh.shape)}")
 
     model = VAE(mc)
@@ -98,6 +99,10 @@ def main(argv=None):
     trainer = Trainer(model_dir, model, cfg, mesh=mesh,
                       print_every=args.print_every,
                       save_every=args.save_every, eval_every=eval_every)
+    put = trainer.make_device_put()
+    train_loader.device_put_fn = put
+    if valid_loader is not None:
+        valid_loader.device_put_fn = put
 
     toks0, mask0 = next(iter(BatchLoader(tr_set, min(2, cfg.batch_size),
                                          shuffle=False, num_workers=1)))

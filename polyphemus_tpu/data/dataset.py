@@ -112,10 +112,13 @@ class BatchLoader:
         sentinel = object()
 
         def producer():
-            with ThreadPoolExecutor(self.workers) as pool:
-                for idxs in batches:
-                    q.put(self._load_batch(idxs, pool))
-            q.put(sentinel)
+            try:
+                with ThreadPoolExecutor(self.workers) as pool:
+                    for idxs in batches:
+                        q.put(self._load_batch(idxs, pool))
+                q.put(sentinel)
+            except BaseException as e:  # propagate to the consumer
+                q.put(e)
 
         th = threading.Thread(target=producer, daemon=True)
         th.start()
@@ -123,6 +126,8 @@ class BatchLoader:
             item = q.get()
             if item is sentinel:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item
 
 

@@ -31,12 +31,23 @@ def maybe_initialize_distributed() -> None:
         jax.distributed.initialize()
 
 
-def make_mesh(model_axis: int = 1, devices=None) -> Mesh:
+def make_mesh(model_axis: int = 1, devices=None,
+              batch_size: int | None = None) -> Mesh:
+    """(data, model) mesh over the available devices.
+
+    When batch_size is given, the data axis shrinks to the largest device
+    count that divides it (a global batch must shard evenly over `data`).
+    """
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if n % model_axis != 0:
         raise ValueError(f"{n} devices not divisible by model_axis={model_axis}")
-    arr = np.asarray(devices).reshape(n // model_axis, model_axis)
+    data_axis = n // model_axis
+    if batch_size is not None:
+        while data_axis > 1 and batch_size % data_axis != 0:
+            data_axis -= 1
+    arr = np.asarray(devices[: data_axis * model_axis]).reshape(
+        data_axis, model_axis)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 

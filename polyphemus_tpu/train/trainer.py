@@ -209,8 +209,23 @@ class Trainer:
         self.min_val_loss = float("inf")
         self.tot_batches = 0
         self.cur_epoch = 0
+        # failure detection: abort after this many consecutive NaN/inf
+        # losses instead of silently corrupting the checkpoint
+        self.max_nan_steps = 5
+        self._nan_steps = 0
 
     # ------------------------------------------------------------------ setup
+    def make_device_put(self):
+        """Returns a (tokens, mask) -> device-sharded arrays fn for
+        BatchLoader(device_put_fn=...): batches land sharded over the data
+        axis while the host thread keeps loading (double buffering)."""
+        bsh = pmesh.batch_sharding(self.mesh)
+
+        def put(tokens, mask):
+            return (jax.device_put(tokens, bsh), jax.device_put(mask, bsh))
+
+        return put
+
     def init_state(self, rng, sample_tokens, sample_mask) -> TrainState:
         state = create_train_state(self.model, self.cfg, rng,
                                    sample_tokens, sample_mask)
@@ -259,6 +274,14 @@ class Trainer:
                     state, tokens, mask, step_rng)
                 timer.tick()
                 self._record(state, losses, accs)
+                if not np.isfinite(self.tr_losses["tot"][-1]):
+                    self._nan_steps += 1
+                    if self._nan_steps >= self.max_nan_steps:
+                        raise FloatingPointError(
+                            f"non-finite loss for {self._nan_steps} "
+                            f"consecutive steps (batch {self.tot_batches})")
+                else:
+                    self._nan_steps = 0
 
                 n = self.tot_batches + 1
                 if n % self.print_every == 0:
