@@ -1,0 +1,72 @@
+"""MIDI parser edge cases: malformed files, running status, dangling notes."""
+import struct
+
+import pytest
+
+from polyphemus_tpu.midi import Note, Song, Track, read_midi, write_midi
+from polyphemus_tpu.midi.parser import MidiParseError
+
+
+def test_not_a_midi(tmp_path):
+    p = tmp_path / "x.mid"
+    p.write_bytes(b"RIFFnotmidi")
+    with pytest.raises(MidiParseError):
+        read_midi(str(p))
+
+
+def test_smpte_division_rejected(tmp_path):
+    p = tmp_path / "x.mid"
+    header = b"MThd" + struct.pack(">IHHH", 6, 0, 1, 0x8000 | (25 << 8))
+    p.write_bytes(header)
+    with pytest.raises(MidiParseError):
+        read_midi(str(p))
+
+
+def test_running_status(tmp_path):
+    """Events that reuse the previous status byte parse correctly."""
+    ev = b""
+    ev += b"\x00" + bytes([0x90, 60, 64])      # note on, explicit status
+    ev += b"\x04" + bytes([62, 64])            # running status: note on 62
+    ev += b"\x04" + bytes([60, 0])             # running: vel 0 == off
+    ev += b"\x04" + bytes([62, 0])
+    ev += b"\x00" + bytes([0xFF, 0x2F, 0x00])
+    track = b"MTrk" + struct.pack(">I", len(ev)) + ev
+    header = b"MThd" + struct.pack(">IHHH", 6, 0, 1, 4)
+    p = tmp_path / "rs.mid"
+    p.write_bytes(header + track)
+    song, tpq, _ = read_midi(str(p))
+    notes = sorted((n.time, n.pitch, n.duration)
+                   for n in song.tracks[0].notes)
+    assert notes == [(0, 60, 8), (4, 62, 8)]
+
+
+def test_dangling_note_closed_at_track_end(tmp_path):
+    ev = b"\x00" + bytes([0x90, 70, 80])
+    ev += b"\x10" + bytes([0xFF, 0x2F, 0x00])  # EOT 16 ticks later
+    track = b"MTrk" + struct.pack(">I", len(ev)) + ev
+    header = b"MThd" + struct.pack(">IHHH", 6, 0, 1, 4)
+    p = tmp_path / "d.mid"
+    p.write_bytes(header + track)
+    song, _, _ = read_midi(str(p))
+    assert [(n.time, n.pitch, n.duration)
+            for n in song.tracks[0].notes] == [(0, 70, 16)]
+
+
+def test_preprocess_skips_garbage(tmp_path):
+    from polyphemus_tpu.data.preprocess import preprocess_midi_file
+
+    p = tmp_path / "garbage.mid"
+    p.write_bytes(b"\x00\x01\x02")
+    out = tmp_path / "out"
+    out.mkdir()
+    assert preprocess_midi_file(str(p), str(out), 2, 8) == 0
+
+
+def test_writer_long_deltas(tmp_path):
+    # delta times needing multi-byte VLQ encode/decode
+    song = Song(resolution=480, tracks=[
+        Track("x", 0, False, [Note(0, 60, 10), Note(100000, 61, 10)])])
+    p = tmp_path / "long.mid"
+    write_midi(str(p), song)
+    parsed, _, _ = read_midi(str(p))
+    assert sorted(n.time for n in parsed.tracks[0].notes) == [0, 100000]
