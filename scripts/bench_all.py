@@ -78,7 +78,15 @@ mask_np, tok_np = np.asarray(out[0]), np.asarray(out[1])
 t0 = time.perf_counter()
 songs = [song_from_tokens(tok_np[i], mask_np[i], cfg2.resolution)
          for i in range(64)]
-report["midi_render_seq_s"] = round(64 / (time.perf_counter() - t0), 1)
+report["midi_render_python_seq_s"] = round(
+    64 / (time.perf_counter() - t0), 1)
+from polyphemus_tpu.midi.fast_render import render_midi_bytes
+if render_midi_bytes(tok_np[0], mask_np[0], cfg2.resolution) is not None:
+    t0 = time.perf_counter()
+    for i in range(256):
+        render_midi_bytes(tok_np[i], mask_np[i], cfg2.resolution)
+    report["midi_render_native_seq_s"] = round(
+        256 / (time.perf_counter() - t0), 1)
 
 # 2. structure-conditioned
 s = load_structure_file("/root/reference/structure.json", 2, 4, 32)
