@@ -281,10 +281,4 @@ def _gcl_fused_bwd(res, g):
             _float0_like(mask))
 
 
-def aux_placeholder(mask):
-    """Shape-only stand-in for the aux cotangent (int32)."""
-    t, s = mask.shape[-2], mask.shape[-1]
-    return jnp.zeros(mask.shape[:-2] + (N_AUX, t * s), jnp.int32)
-
-
 gcl_fused.defvjp(_gcl_fused_fwd, _gcl_fused_bwd)
