@@ -255,7 +255,15 @@ class ContentDecoder(nn.Module):
                 [jnp.moveaxis(pitch, 0, -2), jnp.moveaxis(dur, 0, -2)],
                 axis=-1)
 
-        # emit == "tokens": scan slots; only int32 ids reach HBM.
+        # emit == "tokens": only int32 ids reach HBM. Deterministic decode on
+        # the Pallas path uses the fused tail kernel (states read once per
+        # bar block instead of once per slot).
+        if temperature == 0 and cfg.use_pallas_gcl:
+            from ..ops.kernels import chord_tail
+
+            return chord_tail.chord_tail_tokens(
+                x, ck, cb, pk_d, pb_d, pk_n, pb_n, dk, db, n_slots=n_slots)
+
         w_slots = ck.reshape(d, n_slots, d)
         w_slots = jnp.moveaxis(w_slots, 1, 0)  # (n_slots, d, d)
         b_slots = cb.reshape(n_slots, d)
