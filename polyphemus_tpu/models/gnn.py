@@ -63,6 +63,27 @@ class GCN(nn.Module):
         n_tracks = mask.shape[-2]
         aux = gcl_pallas.build_kernel_aux(mask) if self.use_pallas else None
 
+        # Fully-fused inference path: GCL + folded-BN + relu + residual in
+        # one kernel per layer (eval mode only — training BN needs batch
+        # statistics).
+        if self.use_pallas and deterministic:
+            for i in range(self.n_layers):
+                rel_weight, root, bias = GCLParams(
+                    self.dim, self.dim, self.num_relations,
+                    name=f"layers_{i}")()
+                if self.batch_norm:
+                    affine = MaskedBatchNorm(
+                        self.dim, name=f"norm_layers_{i}").folded_affine()
+                else:
+                    affine = (jnp.ones((self.dim,), x.dtype),
+                              jnp.zeros((self.dim,), x.dtype))
+                wbig = gcl_pallas.pack_weights(rel_weight, root, n_tracks,
+                                               dtype=x.dtype)
+                x = gcl_pallas.gcl_apply_pallas(
+                    x, aux, gate_table, wbig, bias.astype(x.dtype),
+                    epilogue_affine=affine)
+            return x
+
         m_f = mask[..., None].astype(x.dtype)
         for i in range(self.n_layers):
             residual = x

@@ -28,28 +28,36 @@ class MaskedBatchNorm(nn.Module):
     momentum: float = 0.1
     eps: float = 1e-5
 
-    @nn.compact
+    def setup(self):
+        self.scale = self.param("scale", nn.initializers.ones,
+                                (self.features,))
+        self.bias = self.param("bias", nn.initializers.zeros,
+                               (self.features,))
+        self.ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((self.features,)))
+        self.ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((self.features,)))
+
     def __call__(self, x, mask=None, *, use_running_average: bool):
-        scale = self.param("scale", nn.initializers.ones, (self.features,))
-        bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        ra_mean = self.variable(
-            "batch_stats", "mean", lambda: jnp.zeros((self.features,))
-        )
-        ra_var = self.variable(
-            "batch_stats", "var", lambda: jnp.ones((self.features,))
-        )
         if mask is None:
             mask = jnp.ones(x.shape[:-1], bool)
         mask = jnp.broadcast_to(mask, x.shape[:-1])
         y, new_mean, new_var = mops.batch_norm_masked(
-            x, mask, scale, bias, ra_mean.value, ra_var.value,
-            use_running=use_running_average,
+            x, mask, self.scale, self.bias, self.ra_mean.value,
+            self.ra_var.value, use_running=use_running_average,
             momentum=self.momentum, eps=self.eps,
         )
         if not use_running_average and not self.is_initializing():
-            ra_mean.value = new_mean
-            ra_var.value = new_var
+            self.ra_mean.value = new_mean
+            self.ra_var.value = new_var
         return y
+
+    def folded_affine(self):
+        """Eval-mode BN as y = x*A + B (running stats folded), for fusing
+        into kernel epilogues."""
+        a = self.scale * jax.lax.rsqrt(self.ra_var.value + self.eps)
+        b = self.bias - self.ra_mean.value * a
+        return a, b
 
 
 class MLP(nn.Module):
