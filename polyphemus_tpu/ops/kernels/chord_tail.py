@@ -46,7 +46,7 @@ def _kernel(x_ref, w_ref, b_ref, pkd_ref, pbd_ref, pkn_ref, pbn_ref,
 
         p_ids = jnp.argmax(pitch, axis=-1).astype(jnp.int32)
         d_ids = jnp.argmax(dur, axis=-1).astype(jnp.int32)
-        out_ref[bb, :, 0] = jnp.stack([p_ids, d_ids], axis=-1)
+        out_ref[bb, 0] = jnp.stack([p_ids, d_ids], axis=-1)
 
 
 def chord_tail_tokens(x, chord_kernel, chord_bias, pk_drums, pb_drums,
@@ -119,13 +119,14 @@ def chord_tail_tokens(x, chord_kernel, chord_bias, pk_drums, pb_drums,
             pl.BlockSpec((1, dbp.shape[1]), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((bb, n, 1, 2), lambda i, j: (i, 0, j, 0),
+        out_specs=pl.BlockSpec((bb, 1, n, 2), lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nbar + pad, n, n_slots, 2),
+        out_shape=jax.ShapeDtypeStruct((nbar + pad, n_slots, n, 2),
                                        jnp.int32),
         interpret=interpret,
     )(xf, w_slots.astype(cdt), b_slots, pkd, pbd, pkn, pbn, dkp, dbp)
 
     if pad:
         out = out[:nbar]
+    out = jnp.moveaxis(out, 1, 2)  # (nbar, n, n_slots, 2)
     return out.reshape(lead + (t, s, n_slots, 2))
