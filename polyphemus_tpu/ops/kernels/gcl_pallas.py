@@ -173,19 +173,23 @@ def _kernel(aux_ref, x_ref, gates_ref, wbig_ref, bias_ref, *rest,
         # single-node self loop (relation 0)
         h_self = y0 * ch(SINGLE).astype(cdt)
 
-        # assemble (n, 8d) and project in one matmul; per-track blocks are
-        # row-masked copies (concat, no scatter — Mosaic has no scatter)
-        row_t = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0) // n_steps
-        parts = [h_track * (row_t == t).astype(cdt)
-                 for t in range(n_tracks)]
-        parts += [h_self, h_onset, h_next, x]
-        hbig = jnp.concatenate(parts, axis=1)
-
-        out = jax.lax.dot(hbig, wbig, preferred_element_type=f32)
-        out = (out.astype(cdt) + bias) * m
-        if epilogue:
-            out = jax.nn.relu((out * ea_ref[:] + eb_ref[:]) * m) + x
-        out_ref[b] = out
+        # project: shared relations in one (n, 4d) matmul; the 4 per-track
+        # relations as row-block matmuls (their weights differ per row
+        # block — zero-padding them into one matmul would double the FLOPs)
+        hcat = jnp.concatenate([h_self, h_onset, h_next, x], axis=1)
+        wshared = wbig[n_tracks * d:]  # [W0(self); W_on; W_next; root]
+        base = jax.lax.dot(hcat, wshared,
+                           preferred_element_type=f32).astype(cdt) + bias
+        for t in range(n_tracks):
+            lo, hi = t * n_steps, (t + 1) * n_steps
+            wt = wbig[t * d:(t + 1) * d]
+            blk = base[lo:hi] + jax.lax.dot(
+                h_track[lo:hi], wt, preferred_element_type=f32).astype(cdt)
+            blk = blk * m[lo:hi]
+            if epilogue:
+                blk = jax.nn.relu((blk * ea_ref[:] + eb_ref[:])
+                                  * m[lo:hi]) + x[lo:hi]
+            out_ref[b, lo:hi] = blk
 
 
 def gcl_apply_pallas(x, aux, gate_table, wbig, bias, *,
