@@ -193,21 +193,28 @@ def load_structure_file(path: str, n_bars: int, n_tracks: int,
 
 
 def synthesize_audio(midi_path: str, soundfont_path: Optional[str]) -> bool:
-    """<file>.mid -> <file>.wav via external fluidsynth (the synth stays a
-    host tool, as in the reference's muspy.write_audio chain). Returns
-    whether a wav was produced."""
+    """<file>.mid -> <file>.wav: external fluidsynth when available (the
+    reference's muspy.write_audio chain), else the built-in numpy synth.
+    Returns whether a wav was produced."""
     import shutil
     import subprocess
 
-    fs = shutil.which("fluidsynth")
-    if fs is None or soundfont_path is None \
-            or not os.path.exists(soundfont_path):
-        print(f"[generate] audio skipped for {os.path.basename(midi_path)} "
-              "(fluidsynth or soundfont unavailable)")
-        return False
     wav_path = os.path.splitext(midi_path)[0] + ".wav"
-    subprocess.run([fs, "-ni", soundfont_path, midi_path, "-F", wav_path,
-                    "-r", "44100"], check=False, capture_output=True)
+    fs = shutil.which("fluidsynth")
+    if fs is not None and soundfont_path is not None \
+            and os.path.exists(soundfont_path):
+        subprocess.run([fs, "-ni", soundfont_path, midi_path, "-F", wav_path,
+                        "-r", "44100"], check=False, capture_output=True)
+        if os.path.exists(wav_path):
+            return True
+    # fallback: built-in software synth (no external deps)
+    from .midi.parser import quantize_song, read_midi
+    from .midi.synth import song_to_wav
+
+    song, tpq, _ = read_midi(midi_path)
+    song = quantize_song(song, tpq, max(tpq, 1))
+    song.resolution = max(tpq, 1)
+    song_to_wav(song, wav_path)
     return os.path.exists(wav_path)
 
 
