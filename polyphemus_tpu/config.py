@@ -24,9 +24,13 @@ class ModelConfig:
     resolution: int = constants.DEFAULT_RESOLUTION
     dropout: float = 0.0
     batch_norm: bool = True
-    # Use the fused Pallas GCL kernel (inference only — no VJP). Enabled by
-    # the generation engine; training always uses the XLA path.
+    # Use the fused Pallas GCL kernels (forward + hand-written backward).
     use_pallas_gcl: bool = False
+    # Histogram/gather-fused content-encoder front end: computes the masked
+    # BN stats analytically from the embedding tables and folds BN + chord
+    # projection into per-slot lookup tables (numerically identical; avoids
+    # the (cells, 15, d) intermediates).
+    fused_content_encoder: bool = False
 
     @property
     def n_timesteps(self) -> int:

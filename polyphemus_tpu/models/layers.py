@@ -59,6 +59,27 @@ class MaskedBatchNorm(nn.Module):
         b = self.bias - self.ra_mean.value * a
         return a, b
 
+    def affine_from_stats(self, mean, var):
+        """BN as y = x*A + B for externally-computed batch statistics
+        (histogram/gather-fused paths)."""
+        a = self.scale * jax.lax.rsqrt(var + self.eps)
+        return a, self.bias - mean * a
+
+    def update_running(self, mean, var, count):
+        """Apply the torch-convention running update for externally
+        computed batch stats (no-op during init)."""
+        if self.is_initializing():
+            return
+        n = jnp.maximum(count, 1.0)
+        unbias = jnp.where(n > 1, n / jnp.maximum(n - 1.0, 1.0), 1.0)
+        self.ra_mean.value = ((1 - self.momentum) * self.ra_mean.value
+                              + self.momentum * mean)
+        self.ra_var.value = ((1 - self.momentum) * self.ra_var.value
+                             + self.momentum * var * unbias)
+
+    def running_stats(self):
+        return self.ra_mean.value, self.ra_var.value
+
 
 class MLP(nn.Module):
     """Linear stack with pre-layer dropout (reference model.py:138-164)."""

@@ -34,21 +34,76 @@ class EmbedLinear(nn.Module):
     vocab: int
     features: int
 
-    @nn.compact
+    def setup(self):
+        self.kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.vocab, self.features))
+        self.bias = self.param("bias", nn.initializers.zeros,
+                               (self.features,))
+
     def __call__(self, ids):
-        kernel = self.param(
-            "kernel",
-            nn.initializers.lecun_normal(),
-            (self.vocab, self.features),
-        )
-        bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        return jnp.take(kernel, ids, axis=0) + bias
+        return jnp.take(self.kernel, ids, axis=0) + self.bias
+
+    def tables(self):
+        return self.kernel, self.bias
 
 
 class ContentEncoder(nn.Module):
     """Reference ContentEncoder (model.py:302-417), dense layout."""
 
     cfg: ModelConfig
+
+    def _fused_front(self, cfg, pitch_ids, dur_ids, mask, deterministic,
+                     drums_emb, nd_emb, dur_emb, bn_drums, bn_nd, bn_dur,
+                     ck, cb):
+        """Gather-fused embedding + BN + chord projection (see
+        ops/fused_embed.py): exact masked-BN statistics from the embedding
+        tables, BN affine + chord Linear folded into per-slot lookup
+        tables — no (cells, slots, d) intermediates."""
+        from ..ops import fused_embed as fe
+
+        d, h = cfg.d, cfg.d // 2
+        n_slots = constants.MAX_SIMU_TOKENS - 1
+        pids_dr = pitch_ids[..., :1, :, :]
+        pids_nd = pitch_ids[..., 1:, :, :]
+        dids_dr = dur_ids[..., :1, :, :]
+        dids_nd = dur_ids[..., 1:, :, :]
+        m_dr = mask[..., :1, :]
+        m_nd = mask[..., 1:, :]
+
+        w_slots = ck.reshape(n_slots, d, d)
+        w_p, w_d = w_slots[:, :h, :], w_slots[:, h:, :]
+
+        def affine(bn, table, ebias, ids, cmask):
+            if deterministic:
+                mean, var = bn.running_stats()
+                return bn.affine_from_stats(mean, var)
+            st = fe.embedding_stats(table, ebias, ids, cmask)
+            a, b = bn.affine_from_stats(st.mean, st.var)
+            bn.update_running(st.mean, st.var, st.count)
+            return a, b
+
+        pk_d, pb_d = drums_emb.tables()
+        pk_n, pb_n = nd_emb.tables()
+        dk, db = dur_emb.tables()
+
+        a_pd, b_pd = affine(bn_drums, pk_d, pb_d, pids_dr, m_dr)
+        a_pn, b_pn = affine(bn_nd, pk_n, pb_n, pids_nd, m_nd)
+        # shared dur BN: drums group first, then non-drums (running stats
+        # chain in that order, like the reference)
+        a_dd, b_dd = affine(bn_dur, dk, db, dids_dr, m_dr)
+        a_dn, b_dn = affine(bn_dur, dk, db, dids_nd, m_nd)
+
+        t_pd, c_pd = fe.fused_tables(pk_d, pb_d, a_pd, b_pd, w_p)
+        t_pn, c_pn = fe.fused_tables(pk_n, pb_n, a_pn, b_pn, w_p)
+        t_dd, c_dd = fe.fused_tables(dk, db, a_dd, b_dd, w_d)
+        t_dn, c_dn = fe.fused_tables(dk, db, a_dn, b_dn, w_d)
+
+        x_dr = (fe.gather_sum(t_pd, c_pd, pids_dr)
+                + fe.gather_sum(t_dd, c_dd, dids_dr) + cb)
+        x_nd = (fe.gather_sum(t_pn, c_pn, pids_nd)
+                + fe.gather_sum(t_dn, c_dn, dids_nd) + cb)
+        return jnp.concatenate([x_dr, x_nd], axis=-3).astype(ck.dtype)
 
     @nn.compact
     def __call__(self, tokens, mask, nbr, *, deterministic: bool):
@@ -60,43 +115,50 @@ class ContentEncoder(nn.Module):
         pitch_ids, dur_ids = toks[..., 0], toks[..., 1]
 
         # Separate drum/non-drum pitch embeddings; shared duration embedding.
-        # Drums are statically row 0 of the track axis.
-        drums_pitch = EmbedLinear(constants.N_PITCH_TOKENS, h,
-                                  name="drums_pitch_emb")(
-            pitch_ids[..., :1, :, :])
-        nd_pitch = EmbedLinear(constants.N_PITCH_TOKENS, h,
-                               name="non_drums_pitch_emb")(
-            pitch_ids[..., 1:, :, :])
+        # Drums are statically row 0 of the track axis. The shared dur BN
+        # runs drums first then non-drums, updating running stats twice in
+        # that order (reference model.py:362, :375 share one bn_dur module).
+        drums_emb = EmbedLinear(constants.N_PITCH_TOKENS, h,
+                                name="drums_pitch_emb")
+        nd_emb = EmbedLinear(constants.N_PITCH_TOKENS, h,
+                             name="non_drums_pitch_emb")
         dur_emb = EmbedLinear(constants.N_DUR_TOKENS, h, name="dur_emb")
-        drums_dur = dur_emb(dur_ids[..., :1, :, :])
-        nd_dur = dur_emb(dur_ids[..., 1:, :, :])
-
-        # Masked BN per group; the shared dur BN runs drums first then
-        # non-drums, updating running stats twice in that order
-        # (reference model.py:362, :375 share one bn_dur module).
-        m_drum = jnp.broadcast_to(mask[..., :1, :, None],
-                                  drums_pitch.shape[:-1])
-        m_nd = jnp.broadcast_to(mask[..., 1:, :, None], nd_pitch.shape[:-1])
-        drums_pitch = MaskedBatchNorm(h, name="bn_drums")(
-            drums_pitch, m_drum, use_running_average=deterministic)
-        nd_pitch = MaskedBatchNorm(h, name="bn_non_drums")(
-            nd_pitch, m_nd, use_running_average=deterministic)
+        bn_drums = MaskedBatchNorm(h, name="bn_drums")
+        bn_nd = MaskedBatchNorm(h, name="bn_non_drums")
         bn_dur = MaskedBatchNorm(h, name="bn_dur")
-        drums_dur = bn_dur(drums_dur, m_drum,
-                           use_running_average=deterministic)
-        nd_dur = bn_dur(nd_dur, m_nd, use_running_average=deterministic)
+        ck, cb = DenseParams(n_slots * d, d, name="chord_encoder")()
 
-        emb = jnp.concatenate(
-            [
-                jnp.concatenate([drums_pitch, drums_dur], axis=-1),
-                jnp.concatenate([nd_pitch, nd_dur], axis=-1),
-            ],
-            axis=-4,
-        )  # (B, nb, T, S, 15, d)
+        if cfg.fused_content_encoder:
+            x = self._fused_front(
+                cfg, pitch_ids, dur_ids, mask, deterministic,
+                drums_emb, nd_emb, dur_emb, bn_drums, bn_nd, bn_dur, ck, cb)
+        else:
+            drums_pitch = drums_emb(pitch_ids[..., :1, :, :])
+            nd_pitch = nd_emb(pitch_ids[..., 1:, :, :])
+            drums_dur = dur_emb(dur_ids[..., :1, :, :])
+            nd_dur = dur_emb(dur_ids[..., 1:, :, :])
 
-        # Chord embedding: flatten slots, Linear(15d -> d), relu, dropout.
-        x = emb.reshape(emb.shape[:-2] + (n_slots * d,))
-        x = nn.Dense(d, name="chord_encoder")(x)
+            m_drum = jnp.broadcast_to(mask[..., :1, :, None],
+                                      drums_pitch.shape[:-1])
+            m_nd = jnp.broadcast_to(mask[..., 1:, :, None],
+                                    nd_pitch.shape[:-1])
+            drums_pitch = bn_drums(drums_pitch, m_drum,
+                                   use_running_average=deterministic)
+            nd_pitch = bn_nd(nd_pitch, m_nd,
+                             use_running_average=deterministic)
+            drums_dur = bn_dur(drums_dur, m_drum,
+                               use_running_average=deterministic)
+            nd_dur = bn_dur(nd_dur, m_nd, use_running_average=deterministic)
+
+            emb = jnp.concatenate(
+                [
+                    jnp.concatenate([drums_pitch, drums_dur], axis=-1),
+                    jnp.concatenate([nd_pitch, nd_dur], axis=-1),
+                ],
+                axis=-4,
+            )  # (B, nb, T, S, 15, d)
+            x = emb.reshape(emb.shape[:-2] + (n_slots * d,)) @ ck + cb
+
         x = jax.nn.relu(x)
         x = nn.Dropout(cfg.dropout, deterministic=deterministic)(x)
         x = x * mask[..., None].astype(x.dtype)
