@@ -75,7 +75,7 @@ def _cast_floating(tree, dtype):
 
 
 def _forward_loss(model, cfg, params, batch_stats, tokens, mask, rng, beta,
-                  train: bool):
+                  train: bool, with_metrics: bool = True):
     if cfg.bf16:
         # bf16 compute / fp32 master params; gradients flow through the cast
         # back to fp32 (the TPU analogue of the reference's CUDA AMP,
@@ -101,18 +101,24 @@ def _forward_loss(model, cfg, params, batch_stats, tokens, mask, rng, beta,
     tot, losses = compute_losses(
         s_logits, c_logits, tokens, mask, mu, log_var, beta,
         ref_parity=cfg.ref_parity)
-    accs = compute_accuracies(s_logits, c_logits, tokens, mask,
-                              ref_parity=cfg.ref_parity)
+    if with_metrics:
+        accs = compute_accuracies(s_logits, c_logits, tokens, mask,
+                                  ref_parity=cfg.ref_parity)
+    else:
+        accs = {}
     return tot, (losses, accs, new_stats)
 
 
 def make_train_step(model: VAE, cfg: TrainConfig,
-                    optimizer: optax.GradientTransformation) -> Callable:
+                    optimizer: optax.GradientTransformation,
+                    with_metrics: bool = True) -> Callable:
     """Returns step(state, tokens, mask, rng) -> (state, losses, accs).
 
     With cfg.iters_to_accumulate > 1, the global batch is split into
     microbatches scanned sequentially; gradients average across microbatches
     (matching loss/iters_to_accumulate accumulation, training.py:149).
+    with_metrics=False skips the 9 accuracy metrics inside the step (the
+    reference computes them every batch, training.py:175).
     """
     accum = max(cfg.iters_to_accumulate, 1)
 
@@ -121,7 +127,8 @@ def make_train_step(model: VAE, cfg: TrainConfig,
                 beta_schedule(cfg.beta_scheduler, state.step))
         grad_fn = jax.value_and_grad(
             lambda p, bs, t, m, r: _forward_loss(
-                model, cfg, p, bs, t, m, r, beta, True),
+                model, cfg, p, bs, t, m, r, beta, True,
+                with_metrics=with_metrics),
             has_aux=True)
 
         if accum == 1:
