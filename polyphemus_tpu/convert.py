@@ -9,7 +9,7 @@ tree, handling the layout differences:
   * NCHW flatten/unflatten indices -> NHWC permutations around the CNN
     encoder/decoder inner Linears
   * BatchNorm weight/bias/running_* -> scale/bias + batch_stats mean/var
-  * RGCNConv weight/root/bias      -> DenseGCL rel_weight/root/bias (same
+  * RGCNConv weight/root/bias      -> GCLParams rel_weight/root/bias (same
     (in, out) orientation; no transpose)
 
 Works on plain numpy arrays; no torch import needed unless reading a torch
