@@ -1,0 +1,31 @@
+"""Driver-hook regression tests.
+
+Round 1's only red driver signal was dryrun_multichip failing under the real
+bench environment (one axon TPU device, MULTICHIP_r01.json rc=1). The hook now
+self-provisions a virtual CPU mesh via subprocess re-exec; this test runs that
+exact path: a fresh process with NO fake-device XLA flag sees one CPU device,
+must respawn itself onto a virtual 2-device mesh, and succeed.
+"""
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_dryrun_multichip_self_provisions_virtual_mesh():
+    env = dict(os.environ)
+    # Strip the conftest's fake-device flag so the child sees ONE device and
+    # must take the respawn path (mirrors the driver's axon environment).
+    env["XLA_FLAGS"] = re.sub(
+        r"--xla_force_host_platform_device_count=\d+", "",
+        env.get("XLA_FLAGS", "")).strip()
+    env.pop("_POLY_DRYRUN_CHILD", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; g.dryrun_multichip(2)"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=540)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "dryrun_multichip ok: 2 devices" in r.stdout, r.stdout
