@@ -3,7 +3,9 @@
 pitch_non_drums, dur, s_acc, s_precision, s_recall, s_f1.
 
 `ref_parity=True` reproduces the reference bug where structure metrics are
-computed on targets-vs-targets (training.py:356) and thus pinned at 1.0.
+computed on targets-reinterpreted-as-logits (training.py:356): after the
+sigmoid>=0.5 threshold every cell predicts active, so s_acc/s_precision
+equal the target density and s_recall is 1.
 """
 from __future__ import annotations
 
@@ -44,7 +46,13 @@ def compute_accuracies(s_logits, c_logits, tokens, mask,
 
     s_true = mask
     if ref_parity:
-        s_pred = mask
+        # The reference overwrites s_logits with the binary targets
+        # (training.py:356) and then thresholds sigmoid(targets) at 0.5
+        # (training.py:470-496). sigmoid(0)=0.5 lands ON the >=0.5 branch,
+        # so the "predictions" are all-ones: s_acc == s_precision == target
+        # density, s_recall == 1. Verified against the literal reference
+        # code in tests/test_ref_ground.py.
+        s_pred = jnp.ones(mask.shape, bool)
     else:
         import jax
 
