@@ -21,11 +21,15 @@ def main(argv=None):
     p.add_argument("--resolution", type=int, default=8)
     p.add_argument("--n_files", type=int, default=None)
     p.add_argument("--n_workers", type=int, default=1)
+    p.add_argument("--ref_parity", action="store_true",
+                   help="reproduce the reference's cross-track silence-"
+                        "filter bug for sample-for-sample comparability")
     args = p.parse_args(argv)
 
     preprocess_midi_dataset(args.midi_dataset_dir, args.preprocessed_dir,
                             args.n_bars, args.resolution, args.n_files,
-                            n_workers=args.n_workers)
+                            n_workers=args.n_workers,
+                            ref_parity=args.ref_parity)
 
 
 if __name__ == "__main__":

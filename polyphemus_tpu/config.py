@@ -23,6 +23,14 @@ class ModelConfig:
     n_bars: int = 2
     resolution: int = constants.DEFAULT_RESOLUTION
     dropout: float = 0.0
+    # Per-message dropout inside each GCL. The reference hard-codes p=0.1 on
+    # every edge message in training mode regardless of config
+    # (/root/reference/model.py:44,133 — GCN never forwards its dropout to
+    # GCL). Default 0 here (flagship configs train without it and the fused
+    # Pallas training kernel requires 0); set 0.1 to approximate reference
+    # training dynamics — applied to per-relation aggregates, a documented
+    # proxy (STATUS.md quirk table), and forces the XLA GCL during training.
+    message_dropout: float = 0.0
     batch_norm: bool = True
     # Use the fused Pallas GCL kernels (forward + hand-written backward).
     use_pallas_gcl: bool = False

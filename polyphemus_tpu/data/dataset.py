@@ -110,25 +110,44 @@ class BatchLoader:
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        stop = threading.Event()
+
+        def put(item) -> bool:
+            # q.put with a stop check: if the consumer abandons iteration
+            # (early break / GC), the producer must not block on a full
+            # queue forever — it exits at the next timeout instead.
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             try:
                 with ThreadPoolExecutor(self.workers) as pool:
                     for idxs in batches:
-                        q.put(self._load_batch(idxs, pool))
-                q.put(sentinel)
+                        if stop.is_set():
+                            return
+                        if not put(self._load_batch(idxs, pool)):
+                            return
+                put(sentinel)
             except BaseException as e:  # propagate to the consumer
-                q.put(e)
+                put(e)
 
         th = threading.Thread(target=producer, daemon=True)
         th.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
 
 
 def synthetic_batch(rng: np.random.Generator, batch_size: int, n_bars: int,

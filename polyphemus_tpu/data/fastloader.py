@@ -87,6 +87,18 @@ class FastShardedBatcher:
             views, mm, f = _npz_member_views(
                 os.path.join(directory, sh["file"]), ("tokens", "mask"))
             self._keepalive.append((mm, f))
+            # The C++ gather kernel hard-codes int16 token rows / 1-byte
+            # mask rows; any other dtype would be silently misread into
+            # corrupted batches, so fail loudly here instead.
+            if views["tokens"].dtype != np.int16:
+                raise ValueError(
+                    f"{sh['file']}: tokens dtype {views['tokens'].dtype}, "
+                    "expected int16 (pack_dataset writes int16; the native "
+                    "gather path reads int16 rows)")
+            if views["mask"].dtype != np.bool_:
+                raise ValueError(
+                    f"{sh['file']}: mask dtype {views['mask'].dtype}, "
+                    "expected bool")
             self.tok_views.append(views["tokens"])
             self.mask_views.append(views["mask"])
             self.offsets.append(off)

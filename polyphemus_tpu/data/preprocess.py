@@ -16,6 +16,15 @@ muspy based). Same pipeline semantics, on our dependency-free MIDI parser:
      per-track silence or a fully silent bar, randomly transpose non-drums
      by -5..+6 semitones, and save one .npz per window — the exact sample
      format the reference trainer consumes.
+
+Known deviation (fixed by default, reproducible): the reference's
+consecutive-silence filter has a cross-track false positive
+(/root/reference/preprocess.py:182 — np.diff across the track-major
+flattened silent-bar list), so it drops some windows we keep. Pass
+ref_parity=True (CLI: --ref_parity) for sample-for-sample comparability.
+muspy/pypianoroll themselves are unavailable offline, so quantization/merge
+semantics are re-derived and property-tested, not differentially tested
+against real muspy output (explicit known-unknown; see tests).
 """
 from __future__ import annotations
 
@@ -92,17 +101,32 @@ def pack_track(notes: Sequence[Note], length: int):
     return content, activations
 
 
-def _keep_window(s_tensor: np.ndarray, n_bars: int) -> bool:
-    """Silence filters (reference preprocess.py:176-194)."""
+def _keep_window(s_tensor: np.ndarray, n_bars: int,
+                 *, ref_parity: bool = False) -> bool:
+    """Silence filters (reference preprocess.py:176-194).
+
+    The reference's consecutive-silence check runs np.diff over the bar
+    indices of ALL silent (track, bar) cells flattened track-major
+    (preprocess.py:182), so a silent bar in track t followed by the *next*
+    bar silent in track t+1 also drops the window — a cross-track false
+    positive. Default here: per-track consecutive silence only (the clear
+    intent). ref_parity=True reproduces the reference filter exactly, for
+    sample-for-sample dataset comparability (STATUS.md quirk table).
+    """
     if n_bars > 1:
         bars = s_tensor.reshape(s_tensor.shape[0], n_bars, -1)
         bars_acts = np.any(bars, axis=2)
-        # >= 2 consecutive silent bars within one track
-        silent = np.argwhere(~bars_acts)
-        for track in range(bars_acts.shape[0]):
-            cols = np.sort(silent[silent[:, 0] == track][:, 1])
-            if cols.size >= 2 and (np.diff(cols) == 1).any():
+        if ref_parity:
+            # literal reference semantics: diff across the flattened list
+            if 1 in np.diff(np.where(~bars_acts)[1]):
                 return False
+        else:
+            # >= 2 consecutive silent bars within one track
+            silent = np.argwhere(~bars_acts)
+            for track in range(bars_acts.shape[0]):
+                cols = np.sort(silent[silent[:, 0] == track][:, 1])
+                if cols.size >= 2 and (np.diff(cols) == 1).any():
+                    return False
         # a completely silent bar
         if (~bars_acts.any(axis=0)).any():
             return False
@@ -126,8 +150,13 @@ def transpose_non_drums(c_tensor: np.ndarray,
 # ------------------------------------------------------------------ file pipeline
 def preprocess_midi_file(filepath: str, dest_dir: str, n_bars: int,
                          resolution: int,
-                         seed: Optional[int] = None) -> int:
-    """One MIDI file -> .npz samples in dest_dir. Returns samples written."""
+                         seed: Optional[int] = None,
+                         ref_parity: bool = False) -> int:
+    """One MIDI file -> .npz samples in dest_dir. Returns samples written.
+
+    ref_parity reproduces the reference's cross-track silence-filter bug
+    (see _keep_window) for sample-for-sample dataset comparability.
+    """
     filename = os.path.basename(filepath)
     try:
         raw, tpq, time_sigs = read_midi(filepath)
@@ -197,7 +226,7 @@ def preprocess_midi_file(filepath: str, dest_dir: str, n_bars: int,
         for start in range(0, length - window + 1, bar_steps):
             c = np.copy(c_all[:, start:start + window])
             s = np.copy(s_all[:, start:start + window])
-            if not _keep_window(s, n_bars):
+            if not _keep_window(s, n_bars, ref_parity=ref_parity):
                 continue
             transpose_non_drums(c, rng)
             out = os.path.join(dest_dir, f"{filename}{saved}")
@@ -209,7 +238,8 @@ def preprocess_midi_file(filepath: str, dest_dir: str, n_bars: int,
 def preprocess_midi_dataset(midi_dataset_dir: str, preprocessed_dir: str,
                             n_bars: int, resolution: int,
                             n_files: Optional[int] = None,
-                            n_workers: int = 1) -> None:
+                            n_workers: int = 1,
+                            ref_parity: bool = False) -> None:
     """Recursive parallel sweep (reference preprocess.py:215-238)."""
     print("Starting preprocessing")
     start = time.time()
@@ -219,7 +249,7 @@ def preprocess_midi_dataset(midi_dataset_dir: str, preprocessed_dir: str,
     for dirpath, _, files in os.walk(midi_dataset_dir):
         for f in files:
             jobs.append((os.path.join(dirpath, f), preprocessed_dir,
-                         n_bars, resolution))
+                         n_bars, resolution, None, ref_parity))
             if n_files is not None and len(jobs) >= n_files:
                 break
 

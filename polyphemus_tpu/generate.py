@@ -93,7 +93,9 @@ def make_generator(model: VAE, variables, *, conditioned: bool = False,
             lambda x: x.astype(jnp.bfloat16)
             if jnp.issubdtype(x.dtype, jnp.floating) else x, variables)
 
-    def run(z, mask=None):
+    stochastic = structure_temp > 0 or content_temp > 0
+
+    def run(z, mask, key):
         if bf16:
             z = z.astype(jnp.bfloat16)
         if return_logits:
@@ -102,17 +104,29 @@ def make_generator(model: VAE, variables, *, conditioned: bool = False,
             return used_mask, _tokens_from_logits(c_logits), s_logits, \
                 c_logits
         # fused unembed + argmax/sampling path: logits never materialize
-        rngs = ({"gen": jax.random.key(sample_seed)}
-                if (structure_temp > 0 or content_temp > 0) else None)
+        rngs = {"gen": key} if stochastic else None
         s_logits, tokens, used_mask = model.apply(
             variables, z, mask, method=VAE.decode_tokens,
             structure_temp=structure_temp, content_temp=content_temp,
             rngs=rngs)
         return used_mask, tokens
 
+    # Fresh sampling noise per call: the key folds in a host-side call
+    # counter, so repeated stochastic gen(z) calls draw independent noise
+    # (a closure-baked key would reuse identical noise every call). The
+    # deterministic (temperature 0) path ignores the key.
+    base_key = jax.random.key(sample_seed)
+    jitted = jax.jit(run)
+    calls = iter(range(1 << 62))
+
+    def next_key():
+        return (jax.random.fold_in(base_key, next(calls)) if stochastic
+                else base_key)
+
     if conditioned:
-        return jax.jit(run)
-    return jax.jit(lambda z: run(z, None))
+        return lambda z, mask: jitted(z, mask, next_key())
+    jitted_nomask = jax.jit(lambda z, key: run(z, None, key))
+    return lambda z: jitted_nomask(z, next_key())
 
 
 def mtp_from_logits(c_logits, mask):

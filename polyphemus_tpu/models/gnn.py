@@ -51,6 +51,11 @@ class GCN(nn.Module):
     num_dists: int = 32
     batch_norm: bool = False
     dropout: float = 0.1
+    # Dense proxy for the reference's hard-coded p=0.1 per-edge message
+    # dropout (model.py:44,133): iid dropout on the per-relation aggregates.
+    # When > 0, training uses the XLA GCL (the fused Pallas kernel has no
+    # dropout injection point). See ModelConfig.message_dropout.
+    message_dropout: float = 0.0
     use_pallas: bool = False
 
     @nn.compact
@@ -85,18 +90,21 @@ class GCN(nn.Module):
             return x
 
         m_f = mask[..., None].astype(x.dtype)
+        msg_drop = self.message_dropout if not deterministic else 0.0
         for i in range(self.n_layers):
             residual = x
             x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
             rel_weight, root, bias = GCLParams(
                 self.dim, self.dim, self.num_relations,
                 name=f"layers_{i}")()
-            if self.use_pallas:
+            if self.use_pallas and msg_drop == 0.0:
                 x = gcl_pallas.gcl_fused(x, gate_table, rel_weight, root,
                                          bias, aux, mask)
             else:
+                rng = self.make_rng("dropout") if msg_drop > 0.0 else None
                 x = lattice.gcl_apply(x, mask, nbr, gate_table, rel_weight,
-                                      root, bias)
+                                      root, bias, message_dropout=msg_drop,
+                                      dropout_rng=rng)
             if self.batch_norm:
                 x = MaskedBatchNorm(self.dim, name=f"norm_layers_{i}")(
                     x, mask, use_running_average=deterministic)

@@ -167,7 +167,8 @@ class ContentEncoder(nn.Module):
         x = GCN(dim=d, n_layers=cfg.gnn_n_layers,
                 num_relations=constants.N_EDGE_TYPES,
                 num_dists=cfg.n_timesteps, batch_norm=cfg.batch_norm,
-                dropout=cfg.dropout, use_pallas=cfg.use_pallas_gcl,
+                dropout=cfg.dropout, message_dropout=cfg.message_dropout,
+                use_pallas=cfg.use_pallas_gcl,
                 name="graph_encoder")(
             x, mask, nbr, deterministic=deterministic)
 
@@ -288,7 +289,8 @@ class ContentDecoder(nn.Module):
         x = GCN(dim=d, n_layers=cfg.gnn_n_layers,
                 num_relations=constants.N_EDGE_TYPES,
                 num_dists=cfg.n_timesteps, batch_norm=cfg.batch_norm,
-                dropout=cfg.dropout, use_pallas=cfg.use_pallas_gcl,
+                dropout=cfg.dropout, message_dropout=cfg.message_dropout,
+                use_pallas=cfg.use_pallas_gcl,
                 name="graph_decoder")(
             x, mask, nbr, deterministic=deterministic)
 

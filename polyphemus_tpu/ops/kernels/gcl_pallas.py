@@ -14,8 +14,11 @@ Per layer, HBM traffic is one read of x and one write of the output (plus
 the shared weights); the XLA path materializes every gathered/gated
 intermediate. Semantics identical to ops.lattice.gcl_apply (tested).
 
-Used on the inference path (generation); training keeps the XLA path (no
-custom VJP needed).
+Generation uses the epilogue-fused eval path (folded BN + relu + residual
+in-kernel). Training uses `gcl_fused`, a custom_vjp whose backward pass runs
+the hand-written Pallas kernels in gcl_pallas_bwd (data-grad via transposed
+selection matmuls; weight-grad with VMEM-resident (d,d) accumulators);
+gradients are tested against jax.grad of the XLA formulation.
 """
 from __future__ import annotations
 
@@ -270,11 +273,11 @@ def _float0_like(x):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
 def gcl_fused(x, gate_table, rel_weight, root, bias, aux, mask):
-    """Differentiable fused GCL: Pallas forward, XLA-lattice backward.
+    """Differentiable fused GCL: Pallas forward AND Pallas backward.
 
-    Same semantics as lattice.gcl_apply; the backward pass re-derives the
-    layer via jax.vjp of the XLA formulation (recompute, no saved message
-    intermediates). mask/aux receive float0 cotangents.
+    Same semantics as lattice.gcl_apply; the backward pass calls the
+    hand-written kernels in gcl_pallas_bwd (no saved message intermediates —
+    gathers/gates recompute in VMEM). mask/aux receive float0 cotangents.
     """
     wbig = pack_weights(rel_weight, root, mask.shape[-2], dtype=x.dtype)
     return gcl_apply_pallas(x, aux, gate_table, wbig, bias.astype(x.dtype))

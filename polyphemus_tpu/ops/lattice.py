@@ -148,9 +148,14 @@ def relational_messages(
       h_self:  (..., T, S, d) single-node fake self-edge messages, to be
         routed through relation 0's weight.
 
-    Note on dropout: the reference applies dropout per *edge message*
-    (model.py:133). With the flagship config dropout=0; callers wanting
-    dropout apply it to these per-source aggregates (a close, cheaper proxy).
+    Note on dropout: the reference applies dropout per *edge message*, at a
+    hard-coded p=0.1 in training mode (model.py:44,133 — GCN never forwards
+    its configured dropout to GCL). The dense formulation aggregates before
+    any caller sees individual messages, so `gcl_apply(message_dropout=...)`
+    applies iid dropout to the per-destination per-relation aggregates
+    instead — an unbiased but lower-variance proxy (drops are shared across
+    the sources feeding one aggregate). Deviation recorded in STATUS.md's
+    quirk table.
     """
     s = mask.shape[-1]
     dt = x.dtype
@@ -208,16 +213,27 @@ def gcl_apply(
     rel_weight: jax.Array,
     root: jax.Array,
     bias: jax.Array,
+    *,
+    message_dropout: float = 0.0,
+    dropout_rng=None,
 ):
     """One dense relational graph-convolution layer (reference GCL forward,
     model.py:101-121): out = sum_r mean_msgs_r @ W_r + x @ root + bias.
 
     rel_weight: (n_relations=6, d, d); root: (d, d); bias: (d,).
-    Returns masked output (..., T, S, d).
+    message_dropout/dropout_rng: iid dropout on the per-relation aggregates
+    (the dense proxy for the reference's per-edge message dropout — see
+    `relational_messages`). Returns masked output (..., T, S, d).
     """
     h_track, h_onset, h_next, h_self = relational_messages(
         x, mask, nbr, gate_table
     )
+    if message_dropout > 0.0 and dropout_rng is not None:
+        keep = 1.0 - message_dropout
+        stacked = jnp.stack([h_track, h_onset, h_next, h_self])
+        keep_mask = jax.random.bernoulli(dropout_rng, keep, stacked.shape)
+        stacked = jnp.where(keep_mask, stacked / keep, 0.0).astype(x.dtype)
+        h_track, h_onset, h_next, h_self = stacked
     n_tracks = mask.shape[-2]
     w_track = rel_weight[:n_tracks]  # (T, d, d)
     out = jnp.einsum(

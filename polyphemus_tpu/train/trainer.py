@@ -50,8 +50,11 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
         sched = lr_schedule(cfg.lr_scheduler, count)
         return jnp.where(count == 0, opt.lr, sched)
 
-    return optax.adam(learning_rate=lr_fn, b1=opt.betas[0], b2=opt.betas[1],
-                      eps=opt.eps)
+    # weight_decay > 0 enables decoupled (AdamW-style) decay; at 0 the update
+    # is identical to plain Adam, which is what the reference uses
+    # (/root/reference/train.py:181 — torch.optim.Adam, no decay).
+    return optax.adamw(learning_rate=lr_fn, b1=opt.betas[0], b2=opt.betas[1],
+                       eps=opt.eps, weight_decay=opt.weight_decay)
 
 
 def create_train_state(model: VAE, cfg: TrainConfig, rng,
@@ -84,7 +87,7 @@ def _forward_loss(model, cfg, params, batch_stats, tokens, mask, rng, beta,
         batch_stats = _cast_floating(batch_stats, jnp.bfloat16)
     variables = {"params": params, "batch_stats": batch_stats}
     rngs = {"sample": rng}
-    if cfg.model.dropout > 0:
+    if cfg.model.dropout > 0 or cfg.model.message_dropout > 0:
         rngs["dropout"] = jax.random.fold_in(rng, 7)
     if train:
         ((s_logits, c_logits), mu, log_var), updates = model.apply(

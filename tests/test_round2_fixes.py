@@ -1,0 +1,178 @@
+"""Round-2 cleanup regressions (VERDICT.md weak items + ADVICE.md):
+
+  * weight_decay is wired (decoupled AdamW decay, not silently ignored);
+  * per-edge message dropout has a dense proxy (ModelConfig.message_dropout);
+  * the preprocess silence filter's ref_parity mode reproduces the
+    reference's cross-track false positive exactly;
+  * BatchLoader's producer thread exits when iteration is abandoned;
+  * FastShardedBatcher rejects shards whose dtypes the native gather
+    kernel would misread.
+"""
+import json
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from polyphemus_tpu.config import ModelConfig, TrainConfig
+from polyphemus_tpu.data import BatchLoader
+from polyphemus_tpu.data.fastloader import FastShardedBatcher
+from polyphemus_tpu.data.preprocess import _keep_window
+from polyphemus_tpu.data.sharded import INDEX_NAME
+
+
+# ------------------------------------------------------------- weight decay
+def test_weight_decay_wired():
+    import jax.numpy as jnp
+
+    from polyphemus_tpu.train.trainer import make_optimizer
+
+    params = {"w": jnp.ones((4,))}
+    grads = {"w": jnp.zeros((4,))}
+
+    cfg0 = TrainConfig()
+    assert cfg0.optimizer.weight_decay == 0.0
+    opt0 = make_optimizer(cfg0)
+    upd0, _ = opt0.update(grads, opt0.init(params), params)
+    np.testing.assert_allclose(np.asarray(upd0["w"]), 0.0)
+
+    import dataclasses
+    cfg1 = dataclasses.replace(
+        cfg0, optimizer=dataclasses.replace(cfg0.optimizer, weight_decay=0.1))
+    opt1 = make_optimizer(cfg1)
+    upd1, _ = opt1.update(grads, opt1.init(params), params)
+    # zero grads + decoupled decay: update = -lr * wd * param != 0
+    assert (np.asarray(upd1["w"]) != 0.0).all()
+    np.testing.assert_allclose(np.asarray(upd1["w"]),
+                               -cfg1.optimizer.lr * 0.1, rtol=1e-5)
+
+
+# --------------------------------------------------------- message dropout
+def test_message_dropout_train_path():
+    import jax
+    import jax.numpy as jnp
+
+    from polyphemus_tpu.models import VAE
+
+    cfg = ModelConfig(d=32, gnn_n_layers=2, n_bars=2, resolution=8,
+                      batch_norm=True, message_dropout=0.1)
+    model = VAE(cfg)
+    rng = jax.random.key(0)
+    mask = np.zeros((2, cfg.n_bars, 4, cfg.n_timesteps), bool)
+    mask[..., ::4] = True
+    tokens = np.zeros(mask.shape + (16, 2), np.int32)
+    variables = model.init({"params": rng, "sample": rng},
+                           jnp.asarray(tokens), jnp.asarray(mask),
+                           deterministic=True)
+
+    def fwd(drop_seed):
+        (out, mu, lv), _ = model.apply(
+            variables, jnp.asarray(tokens), jnp.asarray(mask),
+            deterministic=False,
+            rngs={"sample": jax.random.key(1),
+                  "dropout": jax.random.key(drop_seed)},
+            mutable=["batch_stats"])
+        return np.asarray(out[1])
+
+    a, b = fwd(0), fwd(1)
+    assert np.isfinite(a).all() and np.isfinite(b).all()
+    # different dropout keys drop different aggregates -> different logits
+    assert (a != b).any()
+
+    # deterministic mode ignores message dropout entirely (no rng needed)
+    (out, _, _) = model.apply(variables, jnp.asarray(tokens),
+                              jnp.asarray(mask), deterministic=True,
+                              rngs={"sample": jax.random.key(1)})
+    assert np.isfinite(np.asarray(out[1])).all()
+
+
+# ----------------------------------------------------- silence filter parity
+def _reference_filter(s_tensor: np.ndarray, n_bars: int) -> bool:
+    """LITERAL reference semantics (/root/reference/preprocess.py:176-194)."""
+    bars = s_tensor.reshape(s_tensor.shape[0], n_bars, -1)
+    bars_acts = np.any(bars, axis=2)
+    if 1 in np.diff(np.where(bars_acts == 0)[1]):
+        return False
+    if np.any(np.logical_not(np.any(bars_acts, axis=0))):
+        return False
+    return True
+
+
+def test_keep_window_ref_parity_fuzz():
+    rng = np.random.default_rng(0)
+    diverged = 0
+    for n_bars in (2, 4):
+        for _ in range(200):
+            s = rng.random((4, n_bars * 32)) < rng.uniform(0.005, 0.1)
+            assert _keep_window(s, n_bars, ref_parity=True) == \
+                _reference_filter(s, n_bars)
+            if (_keep_window(s, n_bars)
+                    != _keep_window(s, n_bars, ref_parity=True)):
+                diverged += 1
+    # the two filters are genuinely different policies
+    assert diverged > 0
+
+
+def test_keep_window_cross_track_case():
+    # track 0 silent in bar 1, track 1 silent in bar 2: flattened silent-bar
+    # columns [..., 1, 2, ...] -> diff 1 -> reference drops, fixed keeps.
+    n_bars, spb = 4, 32
+    s = np.ones((4, n_bars * spb), bool)
+    s[0, 1 * spb:2 * spb] = False
+    s[1, 2 * spb:3 * spb] = False
+    assert _keep_window(s, n_bars) is True
+    assert _keep_window(s, n_bars, ref_parity=True) is False
+    assert _reference_filter(s, n_bars) is False
+
+
+# ------------------------------------------------------ loader thread leak
+class _TinyDS:
+    def __len__(self):
+        return 64
+
+    def __getitem__(self, i):
+        return (np.zeros((2, 4, 32, 16, 2), np.int16),
+                np.ones((2, 4, 32), bool))
+
+
+def test_batchloader_abandon_releases_producer():
+    before = set(threading.enumerate())
+    loader = BatchLoader(_TinyDS(), batch_size=4, num_workers=2, prefetch=1)
+    it = iter(loader)
+    next(it)
+    it.close()  # abandon mid-epoch (15 batches left, queue full)
+    deadline = time.time() + 10
+    leftover = None
+    while time.time() < deadline:
+        leftover = [t for t in threading.enumerate() if t not in before]
+        if not leftover:
+            break
+        time.sleep(0.05)
+    assert not leftover, f"leaked threads: {leftover}"
+
+
+def test_batchloader_full_epoch_still_complete():
+    loader = BatchLoader(_TinyDS(), batch_size=8, num_workers=2, prefetch=2)
+    assert len(list(iter(loader))) == 8
+
+
+# ------------------------------------------------------- fastloader dtypes
+def test_fastloader_rejects_wrong_dtypes(tmp_path):
+    mask = np.ones((4, 2, 4, 32), bool)
+    np.savez(tmp_path / "shard_00000.npz",
+             tokens=np.zeros((4, 2, 4, 32, 16, 2), np.int32), mask=mask)
+    (tmp_path / INDEX_NAME).write_text(json.dumps(
+        {"n_bars": 2, "shard_size": 4,
+         "shards": [{"file": "shard_00000.npz", "n": 4}]}))
+    with pytest.raises(ValueError, match="int16"):
+        FastShardedBatcher(str(tmp_path))
+
+    np.savez(tmp_path / "shard_00001.npz",
+             tokens=np.zeros((4, 2, 4, 32, 16, 2), np.int16),
+             mask=mask.astype(np.uint8))
+    (tmp_path / INDEX_NAME).write_text(json.dumps(
+        {"n_bars": 2, "shard_size": 4,
+         "shards": [{"file": "shard_00001.npz", "n": 4}]}))
+    with pytest.raises(ValueError, match="mask dtype"):
+        FastShardedBatcher(str(tmp_path))

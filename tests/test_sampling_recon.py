@@ -32,6 +32,11 @@ def test_temperature_sampling_varies(tmp_path):
     m2, t2 = hot2(z)
     # different seeds -> different structures (overwhelmingly likely)
     assert (np.asarray(m1) != np.asarray(m2)).any()
+    # repeated calls to the SAME stochastic generator draw fresh noise
+    # (per-call fold_in; a baked key would reuse identical noise)
+    m1b, t1b = hot(z)
+    assert ((np.asarray(m1) != np.asarray(m1b)).any()
+            or (np.asarray(t1) != np.asarray(t1b)).any())
     # sampled content differs from argmax content somewhere active
     both = np.asarray(m0) & np.asarray(m1)
     if both.any():
