@@ -76,11 +76,18 @@ def main() -> None:
     dt = time.perf_counter() - t0
 
     seq_per_sec = ROUNDS * BATCH / dt
+    from polyphemus_tpu import flops as F
+
+    gflops = F.generation_flops_per_seq(cfg) / 1e9
     print(json.dumps({
         "metric": "lmd2_batched_generation",
         "value": round(seq_per_sec, 2),
         "unit": "seq/s",
         "vs_baseline": round(seq_per_sec / BASELINE_SEQ_PER_SEC, 3),
+        "gflops_per_seq": round(gflops, 2),
+        "model_tflops": round(seq_per_sec * gflops / 1e3, 1),
+        "mfu_pct": round(F.mfu(seq_per_sec,
+                               F.generation_flops_per_seq(cfg)), 1),
     }))
 
 

@@ -101,8 +101,12 @@ def main(argv=None):
                       save_every=args.save_every, eval_every=eval_every)
     put = trainer.make_device_put()
     train_loader.device_put_fn = put
+    # per-host batch sharding under jax.distributed (each process loads only
+    # its slice of every global batch; same seed -> same global order)
+    train_loader.shard = (jax.process_index(), jax.process_count())
     if valid_loader is not None:
         valid_loader.device_put_fn = put
+        valid_loader.shard = (jax.process_index(), jax.process_count())
 
     toks0, mask0 = next(iter(BatchLoader(tr_set, min(2, cfg.batch_size),
                                          shuffle=False, num_workers=1)))

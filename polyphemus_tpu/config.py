@@ -34,6 +34,11 @@ class ModelConfig:
     batch_norm: bool = True
     # Use the fused Pallas GCL kernels (forward + hand-written backward).
     use_pallas_gcl: bool = False
+    # Pallas kernel tile sizes (bars resident in VMEM per kernel
+    # invocation). Defaults tuned on LMD2 (2 bars) — see PERFORMANCE.md's
+    # LMD16 sweep for the 16-bar numbers.
+    gcl_bars_per_block: int = 4
+    tail_bars_per_block: int = 8
     # Histogram/gather-fused content-encoder front end: computes the masked
     # BN stats analytically from the embedding tables and folds BN + chord
     # projection into per-slot lookup tables (numerically identical; avoids
@@ -97,6 +102,12 @@ class TrainConfig:
     iters_to_accumulate: int = 1
     # bf16 compute policy for the hot path (params stay fp32).
     bf16: bool = False
+    # Slot-scanned content CE + metrics (the training-side mirror of the
+    # generation fast path): the (B, nb, T, S, 15, 230) logits never
+    # materialize. Numerically equivalent to the logits path (fp32 CE, same
+    # masks); auto-falls back to logits when model.dropout > 0 (the logits
+    # path applies dropout to the slot hiddens).
+    fused_ce: bool = True
     seed: int = 0
     # Reference-parity mode: reproduce the reference's training quirks
     # (degenerate structure loss, beta pinned to 0 — SURVEY.md §2.2).

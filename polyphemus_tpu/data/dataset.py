@@ -74,7 +74,13 @@ class BatchLoader:
 
     def __init__(self, dataset, batch_size: int, *, shuffle: bool = True,
                  seed: int = 0, num_workers: int = 8, drop_last: bool = True,
-                 prefetch: int = 2, device_put_fn=None):
+                 prefetch: int = 2, device_put_fn=None,
+                 shard: tuple = (0, 1)):
+        """shard=(process_index, process_count) enables per-host batch
+        sharding for multi-host data parallelism: every process builds the
+        SAME global batch order (so `seed` must match across processes) and
+        loads only its batch_size/process_count slice of each batch;
+        parallel.mesh.global_batch_put assembles the global array."""
         self.ds = dataset
         self.bs = batch_size
         self.shuffle = shuffle
@@ -83,6 +89,11 @@ class BatchLoader:
         self.drop_last = drop_last
         self.prefetch = prefetch
         self.device_put_fn = device_put_fn
+        self.shard = tuple(shard)
+        if batch_size % self.shard[1] != 0:
+            raise ValueError(
+                f"batch_size {batch_size} not divisible by process_count "
+                f"{self.shard[1]}")
 
     def __len__(self):
         n = len(self.ds)
@@ -107,6 +118,13 @@ class BatchLoader:
         n_batches = len(self)
         batches = [order[i * self.bs:(i + 1) * self.bs]
                    for i in range(n_batches)]
+        pid, pcount = self.shard
+        if pcount > 1:
+            if self.bs % pcount != 0:
+                raise ValueError(f"batch_size {self.bs} not divisible by "
+                                 f"process_count {pcount}")
+            per = self.bs // pcount
+            batches = [b[pid * per:(pid + 1) * per] for b in batches]
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         sentinel = object()

@@ -57,6 +57,8 @@ class GCN(nn.Module):
     # dropout injection point). See ModelConfig.message_dropout.
     message_dropout: float = 0.0
     use_pallas: bool = False
+    # VMEM tile size of the fused kernel (bars per invocation).
+    bars_per_block: int = 4
 
     @nn.compact
     def __call__(self, x, mask, nbr, *, deterministic: bool):
@@ -86,7 +88,8 @@ class GCN(nn.Module):
                                                dtype=x.dtype)
                 x = gcl_pallas.gcl_apply_pallas(
                     x, aux, gate_table, wbig, bias.astype(x.dtype),
-                    epilogue_affine=affine)
+                    epilogue_affine=affine,
+                    bars_per_block=self.bars_per_block)
             return x
 
         m_f = mask[..., None].astype(x.dtype)

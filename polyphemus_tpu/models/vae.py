@@ -169,6 +169,7 @@ class ContentEncoder(nn.Module):
                 num_dists=cfg.n_timesteps, batch_norm=cfg.batch_norm,
                 dropout=cfg.dropout, message_dropout=cfg.message_dropout,
                 use_pallas=cfg.use_pallas_gcl,
+                bars_per_block=cfg.gcl_bars_per_block,
                 name="graph_encoder")(
             x, mask, nbr, deterministic=deterministic)
 
@@ -266,13 +267,20 @@ class ContentDecoder(nn.Module):
     parity path). emit='tokens' fuses chord-decode -> unembed -> argmax in a
     scan over the 15 note slots, so the multi-GB logits tensors never
     materialize in HBM (generation fast path; identical argmax results).
+    emit='train_stats' is the training-side mirror: the same slot scan
+    computes masked-CE sums and accuracy counts against `targets` directly
+    (rematerialized backward — jax.checkpoint on the body), so neither the
+    logits nor per-slot hiddens are ever stored. Requires cfg.dropout == 0
+    on the content tail (the logits path applies dropout to the slot
+    hiddens, reference model.py:549-550; callers fall back to logits).
     """
 
     cfg: ModelConfig
 
     @nn.compact
     def __call__(self, z_c, mask, nbr, *, deterministic: bool,
-                 emit: str = "logits", temperature: float = 0.0):
+                 emit: str = "logits", temperature: float = 0.0,
+                 targets: Optional[jax.Array] = None):
         cfg = self.cfg
         d, h = cfg.d, cfg.d // 2
         n_slots = constants.MAX_SIMU_TOKENS - 1
@@ -291,6 +299,7 @@ class ContentDecoder(nn.Module):
                 num_dists=cfg.n_timesteps, batch_norm=cfg.batch_norm,
                 dropout=cfg.dropout, message_dropout=cfg.message_dropout,
                 use_pallas=cfg.use_pallas_gcl,
+                bars_per_block=cfg.gcl_bars_per_block,
                 name="graph_decoder")(
             x, mask, nbr, deterministic=deterministic)
 
@@ -319,6 +328,53 @@ class ContentDecoder(nn.Module):
                 [jnp.moveaxis(pitch, 0, -2), jnp.moveaxis(dur, 0, -2)],
                 axis=-1)
 
+        if emit == "train_stats":
+            assert targets is not None
+            assert cfg.dropout == 0.0, \
+                "train_stats path has no slot-hidden dropout; use logits"
+            w_slots = jnp.moveaxis(ck.reshape(d, n_slots, d), 1, 0)
+            b_slots = cb.reshape(n_slots, d)
+            p_true = jnp.moveaxis(targets[..., 0], -1, 0)  # (n_slots, ...)
+            d_true = jnp.moveaxis(targets[..., 1], -1, 0)
+            act = mask
+            is_drum = jnp.zeros(mask.shape, bool).at[..., 0, :].set(True)
+            f32 = jnp.float32
+
+            def body(carry, xs):
+                w, b, pt, dt_ = xs
+                pitch, dur = unembed(x @ w + b)
+                lp_p = jax.nn.log_softmax(pitch.astype(f32), axis=-1)
+                lp_d = jax.nn.log_softmax(dur.astype(f32), axis=-1)
+                nll_p = -jnp.take_along_axis(lp_p, pt[..., None],
+                                             axis=-1)[..., 0]
+                nll_d = -jnp.take_along_axis(lp_d, dt_[..., None],
+                                             axis=-1)[..., 0]
+                w_p = act & (pt != constants.PitchToken.PAD)
+                w_d = act & (dt_ != constants.DurationToken.PAD)
+                cp = (jnp.argmax(lp_p, axis=-1) == pt) & w_p
+                cd = (jnp.argmax(lp_d, axis=-1) == dt_) & w_d
+                upd = {
+                    "pitch_nll": jnp.sum(nll_p * w_p.astype(f32)),
+                    "dur_nll": jnp.sum(nll_d * w_d.astype(f32)),
+                    "n_p": jnp.sum(w_p.astype(f32)),
+                    "n_d": jnp.sum(w_d.astype(f32)),
+                    "c_p": jnp.sum(cp.astype(f32)),
+                    "c_d": jnp.sum(cd.astype(f32)),
+                    "c_both": jnp.sum((cp & cd).astype(f32)),
+                    "c_p_dr": jnp.sum((cp & is_drum).astype(f32)),
+                    "c_p_nd": jnp.sum((cp & ~is_drum).astype(f32)),
+                    "n_p_dr": jnp.sum((w_p & is_drum).astype(f32)),
+                    "n_p_nd": jnp.sum((w_p & ~is_drum).astype(f32)),
+                }
+                return jax.tree_util.tree_map(jnp.add, carry, upd), None
+
+            init = {k: jnp.zeros((), f32) for k in (
+                "pitch_nll", "dur_nll", "n_p", "n_d", "c_p", "c_d",
+                "c_both", "c_p_dr", "c_p_nd", "n_p_dr", "n_p_nd")}
+            stats, _ = jax.lax.scan(jax.checkpoint(body), init,
+                                    (w_slots, b_slots, p_true, d_true))
+            return stats
+
         # emit == "tokens": only int32 ids reach HBM. Deterministic decode on
         # the Pallas path uses the fused tail kernel (states read once per
         # bar block instead of once per slot).
@@ -326,7 +382,8 @@ class ContentDecoder(nn.Module):
             from ..ops.kernels import chord_tail
 
             return chord_tail.chord_tail_tokens(
-                x, ck, cb, pk_d, pb_d, pk_n, pb_n, dk, db, n_slots=n_slots)
+                x, ck, cb, pk_d, pb_d, pk_n, pb_n, dk, db, n_slots=n_slots,
+                bars_per_block=cfg.tail_bars_per_block)
 
         w_slots = ck.reshape(d, n_slots, d)
         w_slots = jnp.moveaxis(w_slots, 1, 0)  # (n_slots, d, d)
@@ -372,7 +429,8 @@ class Decoder(nn.Module):
     @nn.compact
     def __call__(self, z, mask: Optional[jax.Array] = None, *,
                  deterministic: bool, emit: str = "logits",
-                 structure_temp: float = 0.0, content_temp: float = 0.0):
+                 structure_temp: float = 0.0, content_temp: float = 0.0,
+                 targets: Optional[jax.Array] = None):
         cfg = self.cfg
         z = nn.Dense(2 * cfg.d, name="lin_decoder")(z)
         z = MaskedBatchNorm(2 * cfg.d, name="batch_norm")(
@@ -399,7 +457,7 @@ class Decoder(nn.Module):
         nbr = lattice.build_neighbors(mask)
         c_out = ContentDecoder(cfg, name="c_decoder")(
             z_c, mask, nbr, deterministic=deterministic, emit=emit,
-            temperature=content_temp)
+            temperature=content_temp, targets=targets)
         return s_logits, c_out, mask
 
 
@@ -422,6 +480,24 @@ class VAE(nn.Module):
         s_logits, c_logits, _ = self.decoder(z, mask,
                                              deterministic=deterministic)
         return (s_logits, c_logits), mu, log_var
+
+    def train_stats(self, tokens, mask, *, deterministic: bool = False):
+        """Training forward returning slot-scanned loss/metric statistics
+        instead of content logits — the (B, nb, T, S, 15, 230) tensor never
+        materializes (the training-side mirror of decode_tokens). Same
+        reparameterized pass as __call__; losses_from_stats /
+        accuracies_from_stats (train/) map the stats to the reference's
+        seven losses and nine metrics."""
+        mask = lattice.ensure_nonempty_bars(mask)
+        nbr = lattice.build_neighbors(mask)
+        mu, log_var = self.encoder(tokens, mask, nbr,
+                                   deterministic=deterministic)
+        eps = jax.random.normal(self.make_rng("sample"), mu.shape, mu.dtype)
+        z = mu + jnp.exp(0.5 * log_var) * eps
+        s_logits, stats, _ = self.decoder(
+            z, mask, deterministic=deterministic, emit="train_stats",
+            targets=tokens[..., 1:, :])
+        return (s_logits, stats), mu, log_var
 
     def encode(self, tokens, mask, *, deterministic: bool = True):
         mask = lattice.ensure_nonempty_bars(mask)

@@ -56,6 +56,27 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
+def global_batch_put(tokens, mask, mesh: Mesh):
+    """Assemble a data-sharded global batch from this process's local shard.
+
+    Single-host: a plain sharded device_put. Multi-host (after
+    jax.distributed.initialize): each process passes ONLY its
+    (global_batch / process_count) rows — loaded by BatchLoader(shard=...) —
+    and the returned jax.Arrays are global, laid out so every process holds
+    exactly its addressable shards. The train step then runs SPMD over the
+    full mesh and GSPMD's grad psum rides ICI/DCN (SURVEY.md §2.4
+    comm-backend row; the reference has no multi-device story at all,
+    /root/reference/train.py:120-122)."""
+    bsh = batch_sharding(mesh)
+    if jax.process_count() == 1:
+        return jax.device_put(tokens, bsh), jax.device_put(mask, bsh)
+    nproc = jax.process_count()
+    gt = (tokens.shape[0] * nproc,) + tuple(tokens.shape[1:])
+    gm = (mask.shape[0] * nproc,) + tuple(mask.shape[1:])
+    return (jax.make_array_from_process_local_data(bsh, tokens, gt),
+            jax.make_array_from_process_local_data(bsh, mask, gm))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

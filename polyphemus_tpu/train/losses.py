@@ -71,3 +71,45 @@ def compute_losses(s_logits, c_logits, tokens, mask, mu, log_var, beta,
         "kld": kld,
         "beta*kld": beta * kld,
     }
+
+
+def structure_loss(s_logits, mask, *, ref_parity: bool = False):
+    """BCE-with-logits on the structure tensor (training.py:310-312);
+    ref_parity feeds the targets back as logits (the reference bug)."""
+    s_logits = s_logits.astype(jnp.float32)
+    s_target = mask.astype(jnp.float32)
+    s_in = s_target if ref_parity else s_logits
+    return jnp.mean(
+        jnp.maximum(s_in, 0) - s_in * s_target
+        + jnp.log1p(jnp.exp(-jnp.abs(s_in)))
+    )
+
+
+def kld_loss(mu, log_var):
+    mu = mu.astype(jnp.float32)
+    log_var = log_var.astype(jnp.float32)
+    kld = -0.5 * jnp.sum(1 + log_var - jnp.square(mu) - jnp.exp(log_var),
+                         axis=1)
+    return jnp.mean(kld)
+
+
+def losses_from_stats(stats, s_logits, mask, mu, log_var, beta,
+                      *, ref_parity: bool = False):
+    """Same seven components as compute_losses, from the slot-scanned
+    content statistics (models/vae.py ContentDecoder emit='train_stats'):
+    the (B, nb, T, S, 15, 230) logits tensor never materializes."""
+    pitch_loss = stats["pitch_nll"] / jnp.maximum(stats["n_p"], 1.0)
+    dur_loss = stats["dur_nll"] / jnp.maximum(stats["n_d"], 1.0)
+    s_loss = structure_loss(s_logits, mask, ref_parity=ref_parity)
+    kld = kld_loss(mu, log_var)
+    rec = pitch_loss + dur_loss + s_loss
+    tot = rec + beta * kld
+    return tot, {
+        "tot": tot,
+        "pitch": pitch_loss,
+        "dur": dur_loss,
+        "structure": s_loss,
+        "reconstruction": rec,
+        "kld": kld,
+        "beta*kld": beta * kld,
+    }

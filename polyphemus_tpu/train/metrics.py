@@ -74,3 +74,37 @@ def compute_accuracies(s_logits, c_logits, tokens, mask,
         "s_recall": s_recall,
         "s_f1": s_f1,
     }
+
+
+def structure_metrics(s_logits, mask, *, ref_parity: bool = False):
+    """The four structure metrics alone (shared by the slot-scanned path,
+    which never materializes content logits)."""
+    s_true = mask
+    if ref_parity:
+        s_pred = jnp.ones(mask.shape, bool)
+    else:
+        import jax
+
+        s_pred = jax.nn.sigmoid(s_logits) >= 0.5
+    tp = jnp.sum(s_pred & s_true)
+    s_acc = _ratio(jnp.sum(s_pred == s_true), s_true.size)
+    s_precision = _ratio(tp, jnp.sum(s_pred))
+    s_recall = _ratio(tp, jnp.sum(s_true))
+    s_f1 = _ratio(2 * s_recall * s_precision, s_recall + s_precision)
+    return {"s_acc": s_acc, "s_precision": s_precision,
+            "s_recall": s_recall, "s_f1": s_f1}
+
+
+def accuracies_from_stats(stats, s_logits, mask, *,
+                          ref_parity: bool = False):
+    """Same nine names/semantics as compute_accuracies, from the
+    slot-scanned content statistics (ContentDecoder emit='train_stats')."""
+    out = {
+        "note": _ratio(stats["c_both"], stats["n_p"]),
+        "pitch": _ratio(stats["c_p"], stats["n_p"]),
+        "pitch_drums": _ratio(stats["c_p_dr"], stats["n_p_dr"]),
+        "pitch_non_drums": _ratio(stats["c_p_nd"], stats["n_p_nd"]),
+        "dur": _ratio(stats["c_d"], stats["n_d"]),
+    }
+    out.update(structure_metrics(s_logits, mask, ref_parity=ref_parity))
+    return out

@@ -19,28 +19,33 @@ import jax.numpy as jnp
 from ..config import BetaSchedulerConfig, LRSchedulerConfig
 
 
-def lr_schedule(cfg: LRSchedulerConfig, step):
-    """step: 1-based count of optimizer updates (jnp or python int)."""
+def lr_schedule(cfg: LRSchedulerConfig, step, xp=jnp):
+    """step: 1-based count of optimizer updates (jnp or python int).
+
+    xp selects the array backend: jnp (default, jit-safe) or numpy — the
+    trainer's host-side metric drain uses numpy so logging never dispatches
+    eager device ops (same formulas, parity-tested against each other)."""
     decay_factor = -math.log(cfg.final_lr_scale) / cfg.decay_steps
-    step = jnp.asarray(step, jnp.float32)
+    step = xp.asarray(step, xp.float32)
     after = step - cfg.warmup_steps
-    decayed = cfg.peak_lr * jnp.exp(-decay_factor * jnp.maximum(after, 0.0))
+    decayed = cfg.peak_lr * xp.exp(-decay_factor * xp.maximum(after, 0.0))
     if cfg.ramp_warmup:
         warm = cfg.peak_lr * step / max(cfg.warmup_steps, 1)
     else:
-        warm = jnp.asarray(cfg.peak_lr, jnp.float32)
-    return jnp.where(step <= cfg.warmup_steps, warm, decayed)
+        warm = xp.asarray(cfg.peak_lr, xp.float32)
+    return xp.where(step <= cfg.warmup_steps, warm, decayed)
 
 
-def beta_schedule(cfg: BetaSchedulerConfig, step, *, ref_parity: bool = False):
-    """KL weight at a given update step."""
+def beta_schedule(cfg: BetaSchedulerConfig, step, *, ref_parity: bool = False,
+                  xp=jnp):
+    """KL weight at a given update step (xp: see lr_schedule)."""
     n_steps = max(int(cfg.beta_max // cfg.step_size), 1)
     inc_every = max((cfg.anneal_end - cfg.anneal_start) // n_steps, 1)
-    step = jnp.asarray(step, jnp.int32)
+    step = xp.asarray(step, xp.int32)
     if ref_parity:
         # Reference trainer never applies the scheduler output.
-        return jnp.zeros((), jnp.float32)
+        return xp.zeros((), xp.float32)
     cur = (step - cfg.anneal_start) // inc_every
-    beta = cfg.step_size * (cur + 1).astype(jnp.float32)
-    beta = jnp.clip(beta, 0.0, cfg.beta_max)
-    return jnp.where(step < cfg.anneal_start, 0.0, beta)
+    beta = cfg.step_size * (cur + 1).astype(xp.float32)
+    beta = xp.clip(beta, 0.0, cfg.beta_max)
+    return xp.where(step < cfg.anneal_start, 0.0, beta)

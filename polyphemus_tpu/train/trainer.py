@@ -29,8 +29,8 @@ from ..config import TrainConfig
 from ..models import VAE
 from ..parallel import mesh as pmesh
 from . import checkpoint as ckpt
-from .losses import compute_losses
-from .metrics import compute_accuracies
+from .losses import compute_losses, losses_from_stats
+from .metrics import accuracies_from_stats, compute_accuracies
 from .schedules import beta_schedule, lr_schedule
 
 
@@ -89,18 +89,33 @@ def _forward_loss(model, cfg, params, batch_stats, tokens, mask, rng, beta,
     rngs = {"sample": rng}
     if cfg.model.dropout > 0 or cfg.model.message_dropout > 0:
         rngs["dropout"] = jax.random.fold_in(rng, 7)
+    # Slot-scanned CE path: the content logits never materialize (the
+    # logits path is kept for dropout>0 and for parity tests).
+    fused = cfg.fused_ce and cfg.model.dropout == 0
+    method = VAE.train_stats if fused else None
     if train:
-        ((s_logits, c_logits), mu, log_var), updates = model.apply(
+        (head, mu, log_var), updates = model.apply(
             variables, tokens, mask, deterministic=False,
-            rngs=rngs, mutable=["batch_stats"])
+            rngs=rngs, mutable=["batch_stats"], method=method)
         new_stats = updates["batch_stats"]
         if cfg.bf16:
             # running stats are kept in fp32 master precision
             new_stats = _cast_floating(new_stats, jnp.float32)
     else:
-        (s_logits, c_logits), mu, log_var = model.apply(
-            variables, tokens, mask, deterministic=True, rngs=rngs)
+        head, mu, log_var = model.apply(
+            variables, tokens, mask, deterministic=True, rngs=rngs,
+            method=method)
         new_stats = batch_stats
+    if fused:
+        s_logits, stats = head
+        tot, losses = losses_from_stats(
+            stats, s_logits, mask, mu, log_var, beta,
+            ref_parity=cfg.ref_parity)
+        accs = (accuracies_from_stats(stats, s_logits, mask,
+                                      ref_parity=cfg.ref_parity)
+                if with_metrics else {})
+        return tot, (losses, accs, new_stats)
+    s_logits, c_logits = head
     tot, losses = compute_losses(
         s_logits, c_logits, tokens, mask, mu, log_var, beta,
         ref_parity=cfg.ref_parity)
@@ -223,16 +238,21 @@ class Trainer:
         # losses instead of silently corrupting the checkpoint
         self.max_nan_steps = 5
         self._nan_steps = 0
+        # async metrics: device scalars buffer here per step and drain to
+        # host floats only at print/eval/save boundaries — no per-step
+        # device->host sync (round-1 cost: ~25 ms tunnel RTT per step)
+        self._pending: list = []
 
     # ------------------------------------------------------------------ setup
     def make_device_put(self):
         """Returns a (tokens, mask) -> device-sharded arrays fn for
         BatchLoader(device_put_fn=...): batches land sharded over the data
-        axis while the host thread keeps loading (double buffering)."""
-        bsh = pmesh.batch_sharding(self.mesh)
+        axis while the host thread keeps loading (double buffering). Under
+        multi-host (jax.distributed), each process feeds its local shard
+        and the result is the globally-sharded batch."""
 
         def put(tokens, mask):
-            return (jax.device_put(tokens, bsh), jax.device_put(mask, bsh))
+            return pmesh.global_batch_put(tokens, mask, self.mesh)
 
         return put
 
@@ -268,6 +288,9 @@ class Trainer:
         stop = False
         timer = StepTimer()
         profiling = False
+        # one sync up front; afterwards the update count tracks on host so
+        # logging never reads state.step back per step
+        host_step = int(jax.device_get(state.step))
         for epoch in range(epochs):
             self.cur_epoch = epoch
             for tokens, mask in train_iter_fn():
@@ -283,17 +306,17 @@ class Trainer:
                 state, losses, accs = self._train_step(
                     state, tokens, mask, step_rng)
                 timer.tick()
-                self._record(state, losses, accs)
-                if not np.isfinite(self.tr_losses["tot"][-1]):
-                    self._nan_steps += 1
-                    if self._nan_steps >= self.max_nan_steps:
-                        raise FloatingPointError(
-                            f"non-finite loss for {self._nan_steps} "
-                            f"consecutive steps (batch {self.tot_batches})")
-                else:
-                    self._nan_steps = 0
+                host_step += 1
+                self._pending.append(
+                    (self.tot_batches, self.cur_epoch, host_step,
+                     losses, accs))
 
                 n = self.tot_batches + 1
+                if (n % self.print_every == 0
+                        or (self.eval_every and n % self.eval_every == 0)
+                        or (self.save_every > 0 and n % self.save_every == 0)
+                        or (early_exit is not None and n > early_exit)):
+                    self._drain()
                 if n % self.print_every == 0:
                     self._print_stats(epoch, epochs, start)
                 if (valid_iter_fn is not None and self.eval_every
@@ -308,6 +331,7 @@ class Trainer:
                 self.tot_batches += 1
             if stop:
                 break
+        self._drain()
         elapsed = time.time() - start
         self.log(f"Training completed in {elapsed:.1f}s")
         self._save(state, "checkpoint")
@@ -328,23 +352,57 @@ class Trainer:
                 {k: float(np.mean(v)) for k, v in accs_all.items()})
 
     # ------------------------------------------------------------------ internals
-    def _record(self, state, losses, accs):
-        for k, v in losses.items():
-            self.tr_losses[k].append(float(v))
-        for k, v in accs.items():
-            self.tr_accuracies[k].append(float(v))
-        step = int(state.step)
-        self.lrs.append(float(lr_schedule(self.cfg.lr_scheduler, step)))
-        self.betas.append(float(beta_schedule(
-            self.cfg.beta_scheduler, step, ref_parity=self.cfg.ref_parity)))
-        if self._jsonl_path is not None:
-            rec = {"batch": self.tot_batches, "epoch": self.cur_epoch,
-                   "lr": self.lrs[-1], "beta": self.betas[-1]}
-            rec.update({f"loss/{k}": float(v) for k, v in losses.items()})
-            rec.update({f"acc/{k}": float(v) for k, v in accs.items()})
+    def _drain(self):
+        """Move buffered device scalars to the host histories in ONE
+        transfer (stacked on device first so the tunnel pays one RTT, not
+        one per scalar), then run NaN-streak failure detection and JSONL
+        emission. Called at print/eval/save boundaries, not per step."""
+        if not self._pending:
+            return
+        leaves_per = None
+        all_leaves = []
+        for _, _, _, losses, accs in self._pending:
+            leaves = jax.tree_util.tree_leaves((losses, accs))
+            leaves_per = len(leaves)
+            all_leaves.extend(leaves)
+        flat = np.asarray(jnp.stack(all_leaves)) if all_leaves else np.zeros(0)
+        pending, self._pending = self._pending, []
+
+        jsonl_lines = []
+        for i, (batch_i, epoch_i, step, losses, accs) in enumerate(pending):
+            vals = flat[i * leaves_per:(i + 1) * leaves_per]
+            named = jax.tree_util.tree_unflatten(
+                jax.tree_util.tree_structure((losses, accs)), vals)
+            l_host, a_host = named
+            for k, v in l_host.items():
+                self.tr_losses[k].append(float(v))
+            for k, v in a_host.items():
+                self.tr_accuracies[k].append(float(v))
+            lr = float(lr_schedule(self.cfg.lr_scheduler, step, xp=np))
+            beta = float(beta_schedule(self.cfg.beta_scheduler, step,
+                                       ref_parity=self.cfg.ref_parity,
+                                       xp=np))
+            self.lrs.append(lr)
+            self.betas.append(beta)
+            if self._jsonl_path is not None:
+                rec = {"batch": batch_i, "epoch": epoch_i,
+                       "lr": lr, "beta": beta}
+                rec.update({f"loss/{k}": float(v) for k, v in l_host.items()})
+                rec.update({f"acc/{k}": float(v) for k, v in a_host.items()})
+                jsonl_lines.append(json.dumps(rec))
+            # failure detection on the drained trajectory
+            if not np.isfinite(float(l_host["tot"])):
+                self._nan_steps += 1
+                if self._nan_steps >= self.max_nan_steps:
+                    raise FloatingPointError(
+                        f"non-finite loss for {self._nan_steps} "
+                        f"consecutive steps (batch {batch_i})")
+            else:
+                self._nan_steps = 0
+        if jsonl_lines:
             os.makedirs(self.model_dir, exist_ok=True)
             with open(self._jsonl_path, "a") as f:
-                f.write(json.dumps(rec) + "\n")
+                f.write("\n".join(jsonl_lines) + "\n")
 
     def _maybe_eval_and_save(self, state, valid_iter_fn, rng):
         val_losses, val_accs = self.evaluate(state, valid_iter_fn, rng)

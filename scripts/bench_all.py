@@ -69,9 +69,15 @@ dt, _ = timed(gen1, z1, rounds=20)
 report["lmd2_uncond_n1_latency_ms"] = round(dt * 1e3, 3)
 
 # 4. batched n=256 (headline)
+from polyphemus_tpu import flops as F
+
 z256 = jax.random.normal(jax.random.key(2), (256, cfg2.d))
 dt, out = timed(gen1, z256)
 report["lmd2_batched_n256_seq_s"] = round(256 / dt, 1)
+report["lmd2_gen_gflops_per_seq"] = round(
+    F.generation_flops_per_seq(cfg2) / 1e9, 2)
+report["lmd2_gen_mfu_pct"] = round(
+    F.mfu(256 / dt, F.generation_flops_per_seq(cfg2)), 1)
 
 # host-side MIDI rendering throughput for the batch
 mask_np, tok_np = np.asarray(out[0]), np.asarray(out[1])
@@ -101,6 +107,8 @@ gen16 = make_generator(model16, vars16, pallas=PALLAS)
 z16 = jax.random.normal(jax.random.key(3), (64, cfg16.d))
 dt, out16 = timed(gen16, z16)
 report["lmd16_n64_seq_s"] = round(64 / dt, 1)
+report["lmd16_gen_mfu_pct"] = round(
+    F.mfu(64 / dt, F.generation_flops_per_seq(cfg16)), 1)
 m16, t16 = np.asarray(out16[0]), np.asarray(out16[1])
 t0 = time.perf_counter()
 song = song_from_tokens(t16[0], m16[0], cfg16.resolution)
@@ -125,6 +133,26 @@ jax.block_until_ready(losses["tot"])
 dt = (time.perf_counter() - t0) / 5
 report["train_step_s"] = round(dt, 4)
 report["train_seq_s"] = round(256 / dt, 1)
+report["train_gflops_per_seq"] = round(
+    F.train_step_flops_per_seq(mcfg_tr) / 1e9, 2)
+report["train_mfu_pct"] = round(
+    F.mfu(256 / dt, F.train_step_flops_per_seq(mcfg_tr)), 1)
+
+# 5b. bf16 training step (VERDICT r1 item 7)
+tcfg_bf = dataclasses.replace(tcfg, bf16=True)
+step_bf = jax.jit(make_train_step(model_tr, tcfg_bf, make_optimizer(tcfg_bf)))
+state_bf = create_train_state(model_tr, tcfg_bf, jax.random.key(0), toks,
+                              mask)
+jax.block_until_ready(step_bf(state_bf, toks, mask, jax.random.key(1)))
+t0 = time.perf_counter()
+for i in range(5):
+    state_bf, losses_bf, _ = step_bf(state_bf, toks, mask, jax.random.key(i))
+jax.block_until_ready(losses_bf["tot"])
+dt_bf = (time.perf_counter() - t0) / 5
+report["train_step_s_bf16"] = round(dt_bf, 4)
+report["train_seq_s_bf16"] = round(256 / dt_bf, 1)
+report["train_mfu_pct_bf16"] = round(
+    F.mfu(256 / dt_bf, F.train_step_flops_per_seq(mcfg_tr)), 1)
 
 print(json.dumps(report, indent=2))
 with open("bench_report.json", "w") as f:

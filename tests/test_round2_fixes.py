@@ -176,3 +176,127 @@ def test_fastloader_rejects_wrong_dtypes(tmp_path):
          "shards": [{"file": "shard_00001.npz", "n": 4}]}))
     with pytest.raises(ValueError, match="mask dtype"):
         FastShardedBatcher(str(tmp_path))
+
+
+# -------------------------------------------------------- async metric drain
+def test_trainer_async_drain_and_nan_abort(tmp_path):
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from polyphemus_tpu.data.dataset import synthetic_batch
+    from polyphemus_tpu.models import VAE
+    from polyphemus_tpu.parallel import mesh as pmesh
+    from polyphemus_tpu.train.trainer import Trainer
+
+    cfg = TrainConfig(batch_size=8,
+                      model=ModelConfig(d=16, gnn_n_layers=1, n_bars=2,
+                                        resolution=8, batch_norm=False))
+    model = VAE(cfg.model)
+    mesh = pmesh.make_mesh(1)
+    trainer = Trainer(str(tmp_path / "m"), model, cfg, mesh=mesh,
+                      print_every=3, save_every=0, log_fn=lambda *a: None)
+    toks, mask = synthetic_batch(np.random.default_rng(0), 8, 2)
+    state = trainer.init_state(jax.random.key(0), jnp.asarray(toks),
+                               jnp.asarray(mask))
+
+    def it():
+        for _ in range(7):
+            yield jnp.asarray(toks), jnp.asarray(mask)
+
+    trainer.fit(state, it, epochs=1)
+    # all 7 steps recorded despite draining only at print boundaries + end
+    assert len(trainer.tr_losses["tot"]) == 7
+    assert len(trainer.lrs) == 7 and len(trainer.betas) == 7
+    assert not trainer._pending
+    lines = (tmp_path / "m" / "metrics.jsonl").read_text().splitlines()
+    assert len(lines) == 7
+    assert all(np.isfinite(trainer.tr_losses["tot"]))
+
+    # NaN streak aborts at the drain even when buffered
+    trainer2 = Trainer(str(tmp_path / "m2"), model, cfg, mesh=mesh,
+                       print_every=10, save_every=0, log_fn=lambda *a: None)
+    trainer2.max_nan_steps = 3
+    state2 = trainer2.init_state(jax.random.key(0), jnp.asarray(toks),
+                                 jnp.asarray(mask))
+    bad = jnp.full(jnp.asarray(toks).shape, 0, jnp.int32)
+
+    def bad_it():
+        for _ in range(6):
+            # poison params via huge lr is slow; instead poison the state
+            yield jnp.asarray(toks), jnp.asarray(mask)
+
+    # poison directly: non-finite params make every loss NaN
+    state2 = state2.replace(params=jax.tree_util.tree_map(
+        lambda x: x * jnp.nan if jnp.issubdtype(x.dtype, jnp.floating) else x,
+        state2.params))
+    with pytest.raises(FloatingPointError):
+        trainer2.fit(state2, bad_it, epochs=1)
+
+
+def test_schedules_host_numpy_match_jnp():
+    from polyphemus_tpu.config import BetaSchedulerConfig, LRSchedulerConfig
+    from polyphemus_tpu.train.schedules import beta_schedule, lr_schedule
+
+    lr_cfg = LRSchedulerConfig()
+    beta_cfg = BetaSchedulerConfig()
+    for step in (0, 1, 7999, 8000, 8001, 40_000, 500_000, 900_000):
+        assert float(lr_schedule(lr_cfg, step)) == pytest.approx(
+            float(lr_schedule(lr_cfg, step, xp=np)), rel=1e-6)
+        assert float(beta_schedule(beta_cfg, step)) == pytest.approx(
+            float(beta_schedule(beta_cfg, step, xp=np)), abs=1e-9)
+
+
+# ----------------------------------------------------------- fused CE path
+def test_fused_ce_matches_logits_path():
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from polyphemus_tpu.data.dataset import synthetic_batch
+    from polyphemus_tpu.models import VAE
+    from polyphemus_tpu.train.trainer import (create_train_state,
+                                              make_optimizer, make_train_step)
+
+    mcfg = ModelConfig(d=32, gnn_n_layers=2, n_bars=2, resolution=8,
+                       batch_norm=True)
+    cfg_f = TrainConfig(batch_size=4, fused_ce=True, model=mcfg)
+    cfg_l = dataclasses.replace(cfg_f, fused_ce=False)
+    model = VAE(mcfg)
+    toks, mask = synthetic_batch(np.random.default_rng(1), 4, 2)
+    toks, mask = jnp.asarray(toks), jnp.asarray(mask)
+    state = create_train_state(model, cfg_f, jax.random.key(0), toks, mask)
+
+    sf, lf, af = jax.jit(make_train_step(model, cfg_f, make_optimizer(cfg_f)))(
+        state, toks, mask, jax.random.key(1))
+    sl, ll, al = jax.jit(make_train_step(model, cfg_l, make_optimizer(cfg_l)))(
+        state, toks, mask, jax.random.key(1))
+
+    for k in ll:
+        assert float(lf[k]) == pytest.approx(float(ll[k]), rel=2e-5, abs=1e-6), k
+    assert set(af) == set(al)
+    for k in al:
+        assert float(af[k]) == pytest.approx(float(al[k]), rel=1e-6, abs=1e-9), k
+    # gradients match (don't compare post-Adam params: Adam normalizes, so
+    # roundoff-level differences on near-zero gradients flip update signs)
+    from polyphemus_tpu.train.trainer import _forward_loss
+
+    def grads(cfg):
+        g_fn = jax.jit(jax.grad(
+            lambda p: _forward_loss(model, cfg, p, state.batch_stats,
+                                    toks, mask, jax.random.key(1),
+                                    jnp.zeros(()), True)[0]))
+        return g_fn(state.params)
+
+    gf, gl = grads(cfg_f), grads(cfg_l)
+    for a, b in zip(jax.tree_util.tree_leaves(gf),
+                    jax.tree_util.tree_leaves(gl)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-5)
+    # batch stats followed the same trajectory
+    for a, b in zip(jax.tree_util.tree_leaves(sf.batch_stats),
+                    jax.tree_util.tree_leaves(sl.batch_stats)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
