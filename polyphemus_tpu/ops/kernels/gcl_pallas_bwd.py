@@ -15,10 +15,10 @@ Backward splits into two kernels:
   * kernel A (per bar block): dx, dG (gate table), dbias. Needs Wbig
     resident; recomputes the pre-activations for the relu masks; all
     transposed gathers are directly-built transposed selection matmuls.
-  * kernel B (grid = (8 weight blocks, bar blocks)): dWbig. Each j-block
-    recomputes only the h needed for that weight block and accumulates
-    h^T @ g in a VMEM-resident (d, d) accumulator (j is the slow grid axis
-    so revisits are consecutive).
+  * kernel B (grid = bar blocks): dWbig in ONE pass — all eight (d, d)
+    accumulator blocks stay VMEM-resident (8 MB at d=512), each h is
+    computed once per bar, and the four track-relation h^T @ g dots use
+    only their 32 contiguous live rows.
 
 Everything is verified against jax.grad of the XLA lattice path in
 interpret mode (tests/test_pallas_grad.py).
@@ -107,10 +107,15 @@ def _bwd_data_kernel(aux_ref, x_ref, g_ref, gates_ref, wbig_ref,
                 g, wblk, (((1,), (1,)), ((), ())),
                 preferred_element_type=F32)  # (n, d)
 
-        row_t = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0) // n_steps
-        dh_track = jnp.zeros((n, d), F32)
-        for t in range(n_tracks):
-            dh_track += dh(t) * (row_t == t).astype(F32)
+        # Track rows are contiguous (cell i = t*S + s), so each track's
+        # dh needs only its 32-row slice of g — (S, d) @ (d, d) instead of
+        # four full (n, d) @ (d, d) matmuls masked by row.
+        dh_track = jnp.concatenate([
+            jax.lax.dot_general(
+                g[t * n_steps:(t + 1) * n_steps],
+                wbig[t * d:(t + 1) * d].astype(F32),
+                (((1,), (1,)), ((), ())), preferred_element_type=F32)
+            for t in range(n_tracks)], axis=0)  # (n, d)
         dh_self = dh(n_tracks)
         dh_onset = dh(n_tracks + 1)
         dh_next = dh(n_tracks + 2)
@@ -181,11 +186,13 @@ def _bwd_data_kernel(aux_ref, x_ref, g_ref, gates_ref, wbig_ref,
 def _bwd_weight_kernel(aux_ref, x_ref, g_ref, gates_ref, dw_ref,
                        *, bars_per_block: int, n_tracks: int, n_steps: int,
                        d: int):
-    """grid = (8, nblocks): j (weight block) is the slow axis, so the (d, d)
-    accumulator block stays in VMEM across all bar blocks."""
+    """Single pass over the bars: all eight (d, d) accumulator blocks stay
+    VMEM-resident (the out block's index map is constant across the grid),
+    so x/g stream from HBM exactly once, every h is computed once per bar,
+    and the four track-relation dots use only their 32 live rows (track
+    rows are contiguous: cell i = t*S + s)."""
     n = n_tracks * n_steps
-    j = pl.program_id(0)
-    first_bar_block = pl.program_id(1) == 0
+    first_bar_block = pl.program_id(0) == 0
 
     @pl.when(first_bar_block)
     def _():
@@ -194,7 +201,10 @@ def _bwd_weight_kernel(aux_ref, x_ref, g_ref, gates_ref, dw_ref,
     gates = gates_ref[:].astype(F32)
     g0 = gates[0:1, :]
 
-    acc = jnp.zeros((d, d), F32)
+    def dw(h, gg):
+        return jax.lax.dot_general(h, gg, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=F32)
+
     for b in range(bars_per_block):
         (ch, ch_row, sel, sel_t, seld, seld_t, recip, a_col) = _common(
             aux_ref, b, n, n_steps)
@@ -202,60 +212,50 @@ def _bwd_weight_kernel(aux_ref, x_ref, g_ref, gates_ref, dw_ref,
         m = (ch(MASK_CH) > 0).astype(F32)
         g = g_ref[b].astype(F32) * m
 
-        def h_track():
-            ok_p, ok_n = ch(OK_P), ch(OK_N)
-            parts = jnp.zeros((n, d), F32)
-            for idx_c, dist_c, ok_c in ((PREV_SRC, DIST_P, OK_P),
-                                        (NEXT_SRC, DIST_N, OK_N)):
-                ok = ch(ok_c)
-                xg = jax.lax.dot(sel(ch(idx_c), ok), x,
-                                 preferred_element_type=F32)
-                gr = jax.lax.dot(seld(ch(dist_c), ok), gates,
-                                 preferred_element_type=F32)
-                parts += jax.nn.relu(xg * gr)
-            cnt_i = ok_p + ok_n
-            return parts * recip(cnt_i, cnt_i > 0) * m
-
-        def y0():
-            return jax.nn.relu(x * g0) * m
-
-        def h_onset():
-            y = y0()
-            cnt_on_i = ch(CNT_ON)
-            col_sum = jax.lax.dot(a_col, y, preferred_element_type=F32)
-            return (col_sum - y) * recip(cnt_on_i, cnt_on_i > 0) * m
-
-        def h_next():
-            ok_pn = ((ch(OK_PN) > 0) & (ch(MSRC) > 0)).astype(jnp.int32)
-            xg = jax.lax.dot(sel(ch(PN_SRC), ok_pn), x,
+        # h_track once (shared by the four track blocks)
+        ok_p, ok_n = ch(OK_P), ch(OK_N)
+        parts = jnp.zeros((n, d), F32)
+        for idx_c, dist_c, ok_c in ((PREV_SRC, DIST_P, OK_P),
+                                    (NEXT_SRC, DIST_N, OK_N)):
+            ok = ch(ok_c)
+            xg = jax.lax.dot(sel(ch(idx_c), ok), x,
                              preferred_element_type=F32)
-            gr = jax.lax.dot(seld(ch(DIST_PN), ok_pn), gates,
+            gr = jax.lax.dot(seld(ch(dist_c), ok), gates,
                              preferred_element_type=F32)
-            z = jax.nn.relu(xg * gr)
-            z_sum = jax.lax.dot(a_col, z, preferred_element_type=F32)
-            cnt_nx_i = ch(CNT_NX)
-            valid = (ch(OK_PN) > 0) & (cnt_nx_i > 0)
-            return (z_sum - z) * recip(cnt_nx_i, valid) * m
+            parts += jax.nn.relu(xg * gr)
+        cnt_i = ok_p + ok_n
+        h_tr = parts * recip(cnt_i, cnt_i > 0) * m
 
-        row_t = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0) // n_steps
+        y = jax.nn.relu(x * g0) * m
 
-        # select h for this weight block j without data-dependent branching:
-        # j in 0..3 -> row-masked h_track; 4 -> h_self; 5 -> onset; 6 -> next;
-        # 7 -> x (root).
-        def branch_track(t):
-            return lambda: h_track() * (row_t == t).astype(F32)
+        cnt_on_i = ch(CNT_ON)
+        col_sum = jax.lax.dot(a_col, y, preferred_element_type=F32)
+        h_on = (col_sum - y) * recip(cnt_on_i, cnt_on_i > 0) * m
 
-        h = jax.lax.switch(j, [
-            branch_track(0), branch_track(1), branch_track(2),
-            branch_track(3),
-            lambda: y0() * ch(SINGLE).astype(F32),
-            h_onset,
-            h_next,
-            lambda: x,
-        ])
-        acc += jax.lax.dot_general(h, g, (((0,), (0,)), ((), ())),
-                                   preferred_element_type=F32)
-    dw_ref[...] += acc.astype(dw_ref.dtype)
+        ok_pn = ((ch(OK_PN) > 0) & (ch(MSRC) > 0)).astype(jnp.int32)
+        xg_pn = jax.lax.dot(sel(ch(PN_SRC), ok_pn), x,
+                            preferred_element_type=F32)
+        gr_pn = jax.lax.dot(seld(ch(DIST_PN), ok_pn), gates,
+                            preferred_element_type=F32)
+        z = jax.nn.relu(xg_pn * gr_pn)
+        z_sum = jax.lax.dot(a_col, z, preferred_element_type=F32)
+        cnt_nx_i = ch(CNT_NX)
+        valid = (ch(OK_PN) > 0) & (cnt_nx_i > 0)
+        h_nx = (z_sum - z) * recip(cnt_nx_i, valid) * m
+
+        for t in range(n_tracks):
+            rows = slice(t * n_steps, (t + 1) * n_steps)
+            dw_ref[t * d:(t + 1) * d, :] += dw(h_tr[rows], g[rows]).astype(
+                dw_ref.dtype)
+        h_self = y * ch(SINGLE).astype(F32)
+        dw_ref[n_tracks * d:(n_tracks + 1) * d, :] += dw(h_self, g).astype(
+            dw_ref.dtype)
+        dw_ref[(n_tracks + 1) * d:(n_tracks + 2) * d, :] += dw(
+            h_on, g).astype(dw_ref.dtype)
+        dw_ref[(n_tracks + 2) * d:(n_tracks + 3) * d, :] += dw(
+            h_nx, g).astype(dw_ref.dtype)
+        dw_ref[(n_tracks + 3) * d:(n_tracks + 4) * d, :] += dw(
+            x, g).astype(dw_ref.dtype)
 
 
 def gcl_backward_pallas(x, aux, gate_table, wbig, g, *,
@@ -327,18 +327,20 @@ def gcl_backward_pallas(x, aux, gate_table, wbig, g, *,
                                n_tracks=t, n_steps=s, d=d)
     dwbig = pl.pallas_call(
         kern_b,
-        grid=(8, nblocks_w),
+        grid=(nblocks_w,),
         in_specs=[
-            pl.BlockSpec((bbw, N_AUX, n), lambda j, i: (i, 0, 0),
+            pl.BlockSpec((bbw, N_AUX, n), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bbw, n, d), lambda j, i: (i, 0, 0),
+            pl.BlockSpec((bbw, n, d), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bbw, n, d), lambda j, i: (i, 0, 0),
+            pl.BlockSpec((bbw, n, d), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((s, d), lambda j, i: (0, 0),
+            pl.BlockSpec((s, d), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((d, d), lambda j, i: (j, 0),
+        # constant index map -> the full (8d, d) accumulator stays VMEM-
+        # resident across the whole grid (one HBM pass over x/g total)
+        out_specs=pl.BlockSpec((8 * d, d), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8 * d, d), jnp.float32),
         interpret=interpret,
