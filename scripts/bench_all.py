@@ -39,6 +39,14 @@ PALLAS = jax.default_backend() == "tpu"
 report = {"backend": jax.default_backend(), "pallas": PALLAS}
 
 
+def checkpoint(stage):
+    """Incremental progress: dump the partial report after every stage so
+    a timed-out run still shows where it got to (10-min sandbox cap)."""
+    print(f"[bench_all] {stage}: {report}", flush=True)
+    with open("bench_report.partial.json", "w") as f:
+        json.dump(report, f, indent=2)
+
+
 def build(n_bars):
     # kernel tile sizes from the LMD16 sweep (PERFORMANCE.md): 8/16 wins at
     # 16 bars (+5%); the LMD2 defaults stay 4/8
@@ -71,6 +79,7 @@ gen1 = make_generator(model2, vars2, pallas=PALLAS)
 z1 = jax.random.normal(jax.random.key(1), (1, cfg2.d))
 dt, _ = timed(gen1, z1, rounds=20)
 report["lmd2_uncond_n1_latency_ms"] = round(dt * 1e3, 3)
+checkpoint("latency")
 
 # 4. batched n=256 (headline)
 from polyphemus_tpu import flops as F
@@ -82,6 +91,7 @@ report["lmd2_gen_gflops_per_seq"] = round(
     F.generation_flops_per_seq(cfg2) / 1e9, 2)
 report["lmd2_gen_mfu_pct"] = round(
     F.mfu(256 / dt, F.generation_flops_per_seq(cfg2)), 1)
+checkpoint("batched")
 
 # host-side MIDI rendering throughput for the batch
 mask_np, tok_np = np.asarray(out[0]), np.asarray(out[1])
@@ -104,6 +114,7 @@ s_batch = jnp.asarray(np.broadcast_to(s, (256,) + s.shape))
 genc = make_generator(model2, vars2, conditioned=True, pallas=PALLAS)
 dt, _ = timed(genc, z256, s_batch)
 report["lmd2_conditioned_n256_seq_s"] = round(256 / dt, 1)
+checkpoint("conditioned")
 
 # 3. LMD16 + 4x looping
 cfg16, model16, vars16 = build(16)
@@ -118,6 +129,7 @@ t0 = time.perf_counter()
 song = song_from_tokens(t16[0], m16[0], cfg16.resolution)
 looped = loop_song(song, 4, 16, cfg16.resolution)
 report["lmd16_loop4_render_ms"] = round((time.perf_counter() - t0) * 1e3, 2)
+checkpoint("lmd16")
 
 # 5. training step (fused Pallas kernels; accumulate to fit HBM)
 import dataclasses
@@ -129,11 +141,11 @@ toks, mask = synthetic_batch(np.random.default_rng(0), 256, 2)
 toks, mask = jnp.asarray(toks), jnp.asarray(mask)
 state = create_train_state(model_tr, tcfg, jax.random.key(0), toks, mask)
 step = jax.jit(make_train_step(model_tr, tcfg, make_optimizer(tcfg)))
-jax.block_until_ready(step(state, toks, mask, jax.random.key(1)))
+float(step(state, toks, mask, jax.random.key(1))[1]["tot"])  # sync warmup
 t0 = time.perf_counter()
 for i in range(5):
     state, losses, _ = step(state, toks, mask, jax.random.key(i))
-jax.block_until_ready(losses["tot"])
+float(losses["tot"])  # scalar readback forces a real sync on the tunnel
 dt = (time.perf_counter() - t0) / 5
 report["train_step_s"] = round(dt, 4)
 report["train_seq_s"] = round(256 / dt, 1)
@@ -141,17 +153,18 @@ report["train_gflops_per_seq"] = round(
     F.train_step_flops_per_seq(mcfg_tr) / 1e9, 2)
 report["train_mfu_pct"] = round(
     F.mfu(256 / dt, F.train_step_flops_per_seq(mcfg_tr)), 1)
+checkpoint("train_fp32")
 
 # 5b. bf16 training step (VERDICT r1 item 7)
 tcfg_bf = dataclasses.replace(tcfg, bf16=True)
 step_bf = jax.jit(make_train_step(model_tr, tcfg_bf, make_optimizer(tcfg_bf)))
 state_bf = create_train_state(model_tr, tcfg_bf, jax.random.key(0), toks,
                               mask)
-jax.block_until_ready(step_bf(state_bf, toks, mask, jax.random.key(1)))
+float(step_bf(state_bf, toks, mask, jax.random.key(1))[1]["tot"])
 t0 = time.perf_counter()
 for i in range(5):
     state_bf, losses_bf, _ = step_bf(state_bf, toks, mask, jax.random.key(i))
-jax.block_until_ready(losses_bf["tot"])
+float(losses_bf["tot"])
 dt_bf = (time.perf_counter() - t0) / 5
 report["train_step_s_bf16"] = round(dt_bf, 4)
 report["train_seq_s_bf16"] = round(256 / dt_bf, 1)

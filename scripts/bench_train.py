@@ -1,0 +1,69 @@
+"""Training-step benchmark (fp32 + bf16), merged into bench_report.json.
+
+Split out of bench_all.py because the two train graphs compile for several
+minutes each through the tunnel and the sandbox caps commands at 10 min —
+run this after bench_all (which covers the generation stages).
+"""
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("POLY_COMPILE_CACHE",
+                      os.path.expanduser("~/.cache/polyphemus_jax"))
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["POLY_COMPILE_CACHE"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+from polyphemus_tpu import flops as F
+from polyphemus_tpu.config import ModelConfig, TrainConfig
+from polyphemus_tpu.data.dataset import synthetic_batch
+from polyphemus_tpu.models import VAE
+from polyphemus_tpu.train.trainer import (create_train_state, make_optimizer,
+                                          make_train_step)
+
+PALLAS = jax.default_backend() == "tpu"
+mcfg = ModelConfig(d=512, gnn_n_layers=8, n_bars=2, resolution=8,
+                   dropout=0.0, batch_norm=True, use_pallas_gcl=PALLAS)
+model = VAE(mcfg)
+tcfg = TrainConfig(batch_size=256, iters_to_accumulate=4, model=mcfg)
+toks, mask = synthetic_batch(np.random.default_rng(0), 256, 2)
+toks, mask = jnp.asarray(toks), jnp.asarray(mask)
+state0 = create_train_state(model, tcfg, jax.random.key(0), toks, mask)
+
+report_path = "bench_report.json"
+report = json.load(open(report_path)) if os.path.exists(report_path) else {}
+flops_step = F.train_step_flops_per_seq(mcfg)
+report["train_gflops_per_seq"] = round(flops_step / 1e9, 2)
+
+
+def run(tag, cfg):
+    step = jax.jit(make_train_step(model, cfg, make_optimizer(cfg)))
+    state = state0
+    s, l, _ = step(state, toks, mask, jax.random.key(1))
+    float(l["tot"])  # sync (scalar readback; block_until_ready unreliable)
+    t0 = time.perf_counter()
+    N = 8
+    for i in range(N):
+        state, losses, _ = step(state, toks, mask, jax.random.key(i))
+    float(losses["tot"])
+    dt = (time.perf_counter() - t0) / N
+    suffix = "" if tag == "fp32" else "_bf16"
+    report[f"train_step_s{suffix}"] = round(dt, 4)
+    report[f"train_seq_s{suffix}"] = round(256 / dt, 1)
+    report[f"train_mfu_pct{suffix}"] = round(F.mfu(256 / dt, flops_step), 1)
+    print(json.dumps({k: v for k, v in report.items() if "train" in k}),
+          flush=True)
+    with open(report_path, "w") as f:
+        json.dump(report, f, indent=2)
+
+
+for tag in (sys.argv[1:] or ["fp32", "bf16"]):
+    run(tag, tcfg if tag == "fp32" else dataclasses.replace(tcfg, bf16=True))
