@@ -35,10 +35,12 @@ class ModelConfig:
     # Use the fused Pallas GCL kernels (forward + hand-written backward).
     use_pallas_gcl: bool = False
     # Pallas kernel tile sizes (bars resident in VMEM per kernel
-    # invocation). Defaults tuned on LMD2 (2 bars) — see PERFORMANCE.md's
-    # LMD16 sweep for the 16-bar numbers.
-    gcl_bars_per_block: int = 4
-    tail_bars_per_block: int = 8
+    # invocation) for the EVAL/generation path; kernels clamp to the actual
+    # flattened bar count, so small batches never pad up to a block. 8/16
+    # won the round-2 sweep at both 2 and 16 bars (PERFORMANCE.md); the
+    # training custom-vjp kernels keep their own (smaller) VMEM-safe tiles.
+    gcl_bars_per_block: int = 8
+    tail_bars_per_block: int = 16
     # Histogram/gather-fused content-encoder front end: computes the masked
     # BN stats analytically from the embedding tables and folds BN + chord
     # projection into per-slot lookup tables (numerically identical; avoids

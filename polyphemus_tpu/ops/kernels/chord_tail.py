@@ -65,7 +65,7 @@ def chord_tail_tokens(x, chord_kernel, chord_bias, pk_drums, pb_drums,
     n = t * s
     nbar = int(np.prod(lead)) if lead else 1
     xf = x.reshape(nbar, n, d)
-    bb = bars_per_block
+    bb = max(1, min(bars_per_block, nbar))  # never pad past the bar count
     pad = (-nbar) % bb
     if pad:
         xf = jnp.concatenate([xf, jnp.zeros((pad, n, d), xf.dtype)], 0)

@@ -217,7 +217,9 @@ def gcl_apply_pallas(x, aux, gate_table, wbig, bias, *,
     xf = x.reshape(nbar, n, d)
     auxf = aux.reshape(nbar, N_AUX, n)
 
-    bb = bars_per_block
+    # clamp to the actual (static) bar count so small batches never pad a
+    # handful of bars up to a full block (batch-1 latency path)
+    bb = max(1, min(bars_per_block, nbar))
     pad = (-nbar) % bb
     if pad:
         xf = jnp.concatenate([xf, jnp.zeros((pad, n, d), xf.dtype)], 0)

@@ -48,12 +48,10 @@ def checkpoint(stage):
 
 
 def build(n_bars):
-    # kernel tile sizes from the LMD16 sweep (PERFORMANCE.md): 8/16 wins at
-    # 16 bars (+5%); the LMD2 defaults stay 4/8
+    # kernel tile defaults (8/16) won the round-2 sweep at both 2 and 16
+    # bars; kernels clamp to the actual bar count for tiny batches
     cfg = ModelConfig(d=512, gnn_n_layers=8, n_bars=n_bars, resolution=8,
-                      dropout=0.0, batch_norm=True,
-                      gcl_bars_per_block=8 if n_bars >= 8 else 4,
-                      tail_bars_per_block=16 if n_bars >= 8 else 8)
+                      dropout=0.0, batch_norm=True)
     model = VAE(cfg)
     toks0 = jnp.zeros((1, n_bars, 4, 32, 16, 2), jnp.int32)
     mask0 = jnp.zeros((1, n_bars, 4, 32), bool).at[:, :, 0, 0].set(True)

@@ -15,19 +15,20 @@ from polyphemus_tpu.generate import make_generator
 from polyphemus_tpu.models import VAE
 
 points = sys.argv[1:] or ["4:8", "8:8", "16:8", "8:16", "16:16", "2:8"]
-BATCH = 64
+N_BARS = int(os.environ.get("POLY_SWEEP_BARS", 16))
+BATCH = int(os.environ.get("POLY_SWEEP_BATCH", 64))
 
 variables = None
 for pt in points:
     gcl_bb, tail_bb = (int(x) for x in pt.split(":"))
-    cfg = ModelConfig(d=512, gnn_n_layers=8, n_bars=16, resolution=8,
+    cfg = ModelConfig(d=512, gnn_n_layers=8, n_bars=N_BARS, resolution=8,
                       dropout=0.0, batch_norm=True,
                       gcl_bars_per_block=gcl_bb,
                       tail_bars_per_block=tail_bb)
     model = VAE(cfg)
     if variables is None:
-        toks0 = jnp.zeros((1, 16, 4, 32, 16, 2), jnp.int32)
-        mask0 = jnp.zeros((1, 16, 4, 32), bool).at[:, :, 0, 0].set(True)
+        toks0 = jnp.zeros((1, N_BARS, 4, 32, 16, 2), jnp.int32)
+        mask0 = jnp.zeros((1, N_BARS, 4, 32), bool).at[:, :, 0, 0].set(True)
         variables = jax.jit(lambda m=model: m.init(
             {"params": jax.random.key(0), "sample": jax.random.key(1)},
             toks0, mask0, deterministic=True))()

@@ -102,7 +102,7 @@ def test_checkpoint_roundtrip_and_resume(tmp_path):
     assert float(l1["tot"]) == pytest.approx(float(l2["tot"]), rel=1e-6)
 
 
-@pytest.mark.parametrize("model_axis", [1, 2])
+@pytest.mark.parametrize("model_axis", [1, 2, 4])
 def test_multichip_train_step(model_axis):
     assert jax.device_count() >= 8, "conftest must fake 8 CPU devices"
     cfg = dataclasses.replace(
