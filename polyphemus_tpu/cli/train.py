@@ -37,6 +37,8 @@ def main(argv=None):
     p.add_argument("--eval", action="store_true", default=False)
     p.add_argument("--eval_every", type=int, default=None)
     p.add_argument("--num_workers", type=int, default=10)
+    p.add_argument("--tensorboard", action="store_true", default=False,
+                   help="mirror metrics to TensorBoard (model_dir/tb)")
     p.add_argument("--tr_split", type=float, default=0.7)
     p.add_argument("--vl_split", type=float, default=0.1)
     p.add_argument("--max_epochs", type=int, default=100)
@@ -98,7 +100,8 @@ def main(argv=None):
         eval_every = len(train_loader)
     trainer = Trainer(model_dir, model, cfg, mesh=mesh,
                       print_every=args.print_every,
-                      save_every=args.save_every, eval_every=eval_every)
+                      save_every=args.save_every, eval_every=eval_every,
+                      tensorboard=args.tensorboard)
     put = trainer.make_device_put()
     train_loader.device_put_fn = put
     # per-host batch sharding under jax.distributed (each process loads only

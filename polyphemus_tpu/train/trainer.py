@@ -202,7 +202,7 @@ class Trainer:
     def __init__(self, model_dir: str, model: VAE, cfg: TrainConfig,
                  mesh=None, print_every: int = 1, save_every: int = 10,
                  eval_every: Optional[int] = None, log_fn=print,
-                 jsonl_metrics: bool = True):
+                 jsonl_metrics: bool = True, tensorboard: bool = False):
         self.model_dir = model_dir
         self.model = model
         self.cfg = cfg
@@ -224,6 +224,17 @@ class Trainer:
 
         self._jsonl_path = (os.path.join(model_dir, "metrics.jsonl")
                             if jsonl_metrics else None)
+        # optional TensorBoard mirror of the JSONL metrics (the reference
+        # has neither — SURVEY.md §5 metrics row; torch's SummaryWriter is
+        # dependency-free here since torch-cpu is part of the toolchain)
+        self._tb = None
+        if tensorboard:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(os.path.join(model_dir, "tb"))
+            except Exception as e:  # pragma: no cover - env dependent
+                log_fn(f"TensorBoard unavailable ({e}); JSONL only")
 
         self.tr_losses = defaultdict(list)
         self.tr_accuracies = defaultdict(list)
@@ -390,6 +401,13 @@ class Trainer:
                 rec.update({f"loss/{k}": float(v) for k, v in l_host.items()})
                 rec.update({f"acc/{k}": float(v) for k, v in a_host.items()})
                 jsonl_lines.append(json.dumps(rec))
+            if self._tb is not None:
+                for k, v in l_host.items():
+                    self._tb.add_scalar(f"loss/{k}", float(v), batch_i)
+                for k, v in a_host.items():
+                    self._tb.add_scalar(f"acc/{k}", float(v), batch_i)
+                self._tb.add_scalar("lr", lr, batch_i)
+                self._tb.add_scalar("beta", beta, batch_i)
             # failure detection on the drained trajectory
             if not np.isfinite(float(l_host["tot"])):
                 self._nan_steps += 1
@@ -403,6 +421,8 @@ class Trainer:
             os.makedirs(self.model_dir, exist_ok=True)
             with open(self._jsonl_path, "a") as f:
                 f.write("\n".join(jsonl_lines) + "\n")
+        if self._tb is not None:
+            self._tb.flush()
 
     def _maybe_eval_and_save(self, state, valid_iter_fn, rng):
         val_losses, val_accs = self.evaluate(state, valid_iter_fn, rng)

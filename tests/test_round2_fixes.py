@@ -300,3 +300,35 @@ def test_fused_ce_matches_logits_path():
                     jax.tree_util.tree_leaves(sl.batch_stats)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-7)
+
+
+# ------------------------------------------------------------- tensorboard
+def test_trainer_tensorboard_mirror(tmp_path):
+    import glob
+
+    import jax
+    import jax.numpy as jnp
+
+    from polyphemus_tpu.data.dataset import synthetic_batch
+    from polyphemus_tpu.models import VAE
+    from polyphemus_tpu.parallel import mesh as pmesh
+    from polyphemus_tpu.train.trainer import Trainer
+
+    cfg = TrainConfig(batch_size=8,
+                      model=ModelConfig(d=16, gnn_n_layers=1, n_bars=2,
+                                        resolution=8, batch_norm=False))
+    model = VAE(cfg.model)
+    trainer = Trainer(str(tmp_path / "m"), model, cfg,
+                      mesh=pmesh.make_mesh(1), print_every=2, save_every=0,
+                      log_fn=lambda *a: None, tensorboard=True)
+    toks, mask = synthetic_batch(np.random.default_rng(0), 8, 2)
+    state = trainer.init_state(jax.random.key(0), jnp.asarray(toks),
+                               jnp.asarray(mask))
+
+    def it():
+        for _ in range(3):
+            yield jnp.asarray(toks), jnp.asarray(mask)
+
+    trainer.fit(state, it, epochs=1)
+    events = glob.glob(str(tmp_path / "m" / "tb" / "events.out.tfevents.*"))
+    assert events, "TensorBoard event file written"
