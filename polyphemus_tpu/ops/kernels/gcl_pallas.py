@@ -218,8 +218,16 @@ def gcl_apply_pallas(x, aux, gate_table, wbig, bias, *,
     auxf = aux.reshape(nbar, N_AUX, n)
 
     # clamp to the actual (static) bar count so small batches never pad a
-    # handful of bars up to a full block (batch-1 latency path)
-    bb = max(1, min(bars_per_block, nbar))
+    # handful of bars up to a full block (batch-1 latency path). In fp32
+    # the packed weights alone hold 8d^2*4 bytes of VMEM (8.4 MB at d=512)
+    # and blocks > 4 bars overflow the 16 MB scoped limit in some graphs
+    # (pure-generation graphs compiled bb=8, the batch-256 eval-forward
+    # graph OOM'd at both 8 and 6) — cap fp32 at the round-1-proven 4.
+    # bf16 halves every buffer and runs the full block size (the sweep's
+    # 8/16 win).
+    esize = np.dtype(x.dtype).itemsize
+    cap = bars_per_block if esize <= 2 else min(bars_per_block, 4)
+    bb = max(1, min(cap, nbar))
     pad = (-nbar) % bb
     if pad:
         xf = jnp.concatenate([xf, jnp.zeros((pad, n, d), xf.dtype)], 0)

@@ -40,13 +40,17 @@ from .gcl_pallas import (CNT_NX, CNT_ON, DIST_N, DIST_P, DIST_PN, MASK_CH,
 F32 = jnp.float32
 
 
-def _common(aux_ref, b, n, n_steps):
-    """Shared per-bar selection helpers (f32 math for exact relu masks)."""
+def _common(aux_ref, b, n, n_steps, cdt=F32):
+    """Shared per-bar selection helpers. Selection/one-hot matrices are
+    exact in any float dtype; emitting them in the compute dtype (`cdt` =
+    x's dtype) lets every dot run with native-MXU inputs under the bf16
+    policy (all dots still accumulate in f32), and makes the recomputed
+    relu masks match the forward kernel's bit for bit."""
     src_j = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
     dst_j = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
     col_i = dst_j % n_steps
     col_j = src_j % n_steps
-    a_col = (col_i == col_j).astype(F32)
+    a_col = (col_i == col_j).astype(cdt)
     dist_cols = jax.lax.broadcasted_iota(jnp.int32, (n, n_steps), 1)
     dist_rows = jax.lax.broadcasted_iota(jnp.int32, (n_steps, n), 0)
 
@@ -57,21 +61,21 @@ def _common(aux_ref, b, n, n_steps):
         return aux_ref[b, c][None, :]  # (1, n) int32
 
     def sel(idx_col, ok_col):
-        return ((src_j == idx_col) & (ok_col > 0)).astype(F32)
+        return ((src_j == idx_col) & (ok_col > 0)).astype(cdt)
 
     def sel_t(idx_row, ok_row):
         # transposed selection: selT[j, i] = (j == idx[i]) & ok[i]
-        return ((dst_j == idx_row) & (ok_row > 0)).astype(F32)
+        return ((dst_j == idx_row) & (ok_row > 0)).astype(cdt)
 
     def seld(dist_col, ok_col):
-        return ((dist_cols == dist_col) & (ok_col > 0)).astype(F32)
+        return ((dist_cols == dist_col) & (ok_col > 0)).astype(cdt)
 
     def seld_t(dist_row, ok_row):
-        return ((dist_rows == dist_row) & (ok_row > 0)).astype(F32)
+        return ((dist_rows == dist_row) & (ok_row > 0)).astype(cdt)
 
     def recip(cnt_i, valid_i):
         r = 1.0 / jnp.maximum(cnt_i.astype(F32), 1.0)
-        return jnp.where(valid_i, r, 0.0)
+        return jnp.where(valid_i, r, 0.0).astype(cdt)
 
     return ch, ch_row, sel, sel_t, seld, seld_t, recip, a_col
 
@@ -88,24 +92,25 @@ def _bwd_data_kernel(aux_ref, x_ref, g_ref, gates_ref, wbig_ref,
         dg_ref[...] = jnp.zeros_like(dg_ref)
         dbias_ref[...] = jnp.zeros_like(dbias_ref)
 
-    gates = gates_ref[:].astype(F32)
+    cdt = x_ref.dtype  # compute dtype: dots take cdt inputs, f32 accum
+    gates = gates_ref[:].astype(cdt)
     g0 = gates[0:1, :]
     wbig = wbig_ref[:]  # (8d, d) compute dtype
 
     for b in range(bars_per_block):
         (ch, ch_row, sel, sel_t, seld, seld_t, recip, a_col) = _common(
-            aux_ref, b, n, n_steps)
-        x = x_ref[b].astype(F32)
-        m = (ch(MASK_CH) > 0).astype(F32)
-        g = g_ref[b].astype(F32) * m
+            aux_ref, b, n, n_steps, cdt)
+        x = x_ref[b]
+        m = (ch(MASK_CH) > 0).astype(cdt)
+        g = g_ref[b] * m
 
         # dHbig = g @ Wbig^T, computed per 512-block via dot_general with
         # contraction on Wbig's output dim (no transpose materialization).
         def dh(block):
-            wblk = wbig[block * d:(block + 1) * d].astype(F32)  # (d, d)
+            wblk = wbig[block * d:(block + 1) * d]  # (d, d)
             return jax.lax.dot_general(
                 g, wblk, (((1,), (1,)), ((), ())),
-                preferred_element_type=F32)  # (n, d)
+                preferred_element_type=F32)  # (n, d) f32
 
         # Track rows are contiguous (cell i = t*S + s), so each track's
         # dh needs only its 32-row slice of g — (S, d) @ (d, d) instead of
@@ -113,71 +118,79 @@ def _bwd_data_kernel(aux_ref, x_ref, g_ref, gates_ref, wbig_ref,
         dh_track = jnp.concatenate([
             jax.lax.dot_general(
                 g[t * n_steps:(t + 1) * n_steps],
-                wbig[t * d:(t + 1) * d].astype(F32),
+                wbig[t * d:(t + 1) * d],
                 (((1,), (1,)), ((), ())), preferred_element_type=F32)
             for t in range(n_tracks)], axis=0)  # (n, d)
         dh_self = dh(n_tracks)
         dh_onset = dh(n_tracks + 1)
         dh_next = dh(n_tracks + 2)
-        dx = dh(n_tracks + 3)  # root path
+        dx = dh(n_tracks + 3)  # root path, f32 accumulator
 
-        dbias_ref[...] += jnp.sum(g, axis=0, keepdims=True).astype(
-            dbias_ref.dtype)
+        dbias_ref[...] += jnp.sum(g.astype(F32), axis=0,
+                                  keepdims=True).astype(dbias_ref.dtype)
 
         # ---- TRACK path --------------------------------------------------
         ok_p, ok_n = ch(OK_P), ch(OK_N)
         cnt_i = ok_p + ok_n
-        dmsg = dh_track * recip(cnt_i, cnt_i > 0) * m  # same for p and n
+        dmsg = dh_track * recip(cnt_i, cnt_i > 0) * m  # f32, same for p/n
         for idx_c, dist_c, ok_c in ((PREV_SRC, DIST_P, OK_P),
                                     (NEXT_SRC, DIST_N, OK_N)):
             ok = ch(ok_c)
             s_m = sel(ch(idx_c), ok)
-            xg = jax.lax.dot(s_m, x, preferred_element_type=F32)
+            # pre-activation recomputed exactly as the forward kernel does
+            # (cdt dots, f32 accum, cast back) so the relu masks agree
+            xg = jax.lax.dot(s_m, x, preferred_element_type=F32).astype(cdt)
             sd = seld(ch(dist_c), ok)
-            gr = jax.lax.dot(sd, gates, preferred_element_type=F32)
+            gr = jax.lax.dot(sd, gates, preferred_element_type=F32
+                             ).astype(cdt)
             pre = xg * gr
-            dpre = dmsg * (pre > 0).astype(F32)
+            dpre = dmsg * (pre.astype(F32) > 0).astype(F32)
             # dx += P^T (dpre * gr)
             st = sel_t(ch_row(idx_c), ch_row(ok_c))
-            dx += jax.lax.dot(st, dpre * gr, preferred_element_type=F32)
+            dx += jax.lax.dot(st, (dpre * gr).astype(cdt),
+                              preferred_element_type=F32)
             # dG += selD^T (dpre * xg)
             sdt = seld_t(ch_row(dist_c), ch_row(ok_c))
             dg_ref[...] += jax.lax.dot(
-                sdt, dpre * xg, preferred_element_type=F32
+                sdt, (dpre * xg).astype(cdt), preferred_element_type=F32
             ).astype(dg_ref.dtype)
 
         # ---- ONSET + SELF path --------------------------------------------
         cnt_on_i = ch(CNT_ON)
         r_on = recip(cnt_on_i, cnt_on_i > 0)
-        dcol = dh_onset * r_on * m
-        dy0 = (jax.lax.dot(a_col, dcol, preferred_element_type=F32) - dcol)
+        dcol = (dh_onset * r_on * m).astype(cdt)
+        dy0 = (jax.lax.dot(a_col, dcol, preferred_element_type=F32)
+               - dcol.astype(F32))
         single = ch(SINGLE).astype(F32)
         dy0 += dh_self * single
         pre0 = x * g0
-        dpre0 = dy0 * m * (pre0 > 0).astype(F32)
-        dx += dpre0 * g0
-        dg_row0 = jnp.sum(dpre0 * x, axis=0, keepdims=True)  # (1, d)
+        dpre0 = dy0 * m.astype(F32) * (pre0.astype(F32) > 0).astype(F32)
+        dx += dpre0 * g0.astype(F32)
+        dg_row0 = jnp.sum(dpre0 * x.astype(F32), axis=0, keepdims=True)
         dg_ref[0:1, :] += dg_row0.astype(dg_ref.dtype)
 
         # ---- NEXT path ------------------------------------------------------
         ok_pn_src = ((ch(OK_PN) > 0) & (ch(MSRC) > 0)).astype(jnp.int32)
         cnt_nx_i = ch(CNT_NX)
         valid_nx = (ch(OK_PN) > 0) & (cnt_nx_i > 0)
-        dnx = dh_next * recip(cnt_nx_i, valid_nx) * m
-        dz = jax.lax.dot(a_col, dnx, preferred_element_type=F32) - dnx
+        dnx = (dh_next * recip(cnt_nx_i, valid_nx) * m).astype(cdt)
+        dz = (jax.lax.dot(a_col, dnx, preferred_element_type=F32)
+              - dnx.astype(F32))
         s_pn = sel(ch(PN_SRC), ok_pn_src)
-        xg_pn = jax.lax.dot(s_pn, x, preferred_element_type=F32)
+        xg_pn = jax.lax.dot(s_pn, x, preferred_element_type=F32).astype(cdt)
         sd_pn = seld(ch(DIST_PN), ok_pn_src)
-        gr_pn = jax.lax.dot(sd_pn, gates, preferred_element_type=F32)
+        gr_pn = jax.lax.dot(sd_pn, gates, preferred_element_type=F32
+                            ).astype(cdt)
         pre_pn = xg_pn * gr_pn
-        dpre_pn = dz * (pre_pn > 0).astype(F32)
+        dpre_pn = dz * (pre_pn.astype(F32) > 0).astype(F32)
         ok_pn_row = ((ch_row(OK_PN) > 0) & (ch_row(MSRC) > 0)).astype(
             jnp.int32)
         st_pn = sel_t(ch_row(PN_SRC), ok_pn_row)
-        dx += jax.lax.dot(st_pn, dpre_pn * gr_pn, preferred_element_type=F32)
+        dx += jax.lax.dot(st_pn, (dpre_pn * gr_pn).astype(cdt),
+                          preferred_element_type=F32)
         sdt_pn = seld_t(ch_row(DIST_PN), ok_pn_row)
         dg_ref[...] += jax.lax.dot(
-            sdt_pn, dpre_pn * xg_pn, preferred_element_type=F32
+            sdt_pn, (dpre_pn * xg_pn).astype(cdt), preferred_element_type=F32
         ).astype(dg_ref.dtype)
 
         dx_ref[b] = dx.astype(dx_ref.dtype)
@@ -198,30 +211,33 @@ def _bwd_weight_kernel(aux_ref, x_ref, g_ref, gates_ref, dw_ref,
     def _():
         dw_ref[...] = jnp.zeros_like(dw_ref)
 
-    gates = gates_ref[:].astype(F32)
+    cdt = x_ref.dtype
+    gates = gates_ref[:].astype(cdt)
     g0 = gates[0:1, :]
 
     def dw(h, gg):
-        return jax.lax.dot_general(h, gg, (((0,), (0,)), ((), ())),
+        return jax.lax.dot_general(h.astype(cdt), gg,
+                                   (((0,), (0,)), ((), ())),
                                    preferred_element_type=F32)
 
     for b in range(bars_per_block):
         (ch, ch_row, sel, sel_t, seld, seld_t, recip, a_col) = _common(
-            aux_ref, b, n, n_steps)
-        x = x_ref[b].astype(F32)
-        m = (ch(MASK_CH) > 0).astype(F32)
-        g = g_ref[b].astype(F32) * m
+            aux_ref, b, n, n_steps, cdt)
+        x = x_ref[b]
+        m = (ch(MASK_CH) > 0).astype(cdt)
+        g = g_ref[b] * m
 
-        # h_track once (shared by the four track blocks)
+        # h_track once (shared by the four track blocks); identical ops to
+        # the forward kernel (cdt dots, f32 accum) so h matches bit-for-bit
         ok_p, ok_n = ch(OK_P), ch(OK_N)
-        parts = jnp.zeros((n, d), F32)
+        parts = jnp.zeros((n, d), cdt)
         for idx_c, dist_c, ok_c in ((PREV_SRC, DIST_P, OK_P),
                                     (NEXT_SRC, DIST_N, OK_N)):
             ok = ch(ok_c)
             xg = jax.lax.dot(sel(ch(idx_c), ok), x,
-                             preferred_element_type=F32)
+                             preferred_element_type=F32).astype(cdt)
             gr = jax.lax.dot(seld(ch(dist_c), ok), gates,
-                             preferred_element_type=F32)
+                             preferred_element_type=F32).astype(cdt)
             parts += jax.nn.relu(xg * gr)
         cnt_i = ok_p + ok_n
         h_tr = parts * recip(cnt_i, cnt_i > 0) * m
@@ -229,16 +245,18 @@ def _bwd_weight_kernel(aux_ref, x_ref, g_ref, gates_ref, dw_ref,
         y = jax.nn.relu(x * g0) * m
 
         cnt_on_i = ch(CNT_ON)
-        col_sum = jax.lax.dot(a_col, y, preferred_element_type=F32)
+        col_sum = jax.lax.dot(a_col, y, preferred_element_type=F32
+                              ).astype(cdt)
         h_on = (col_sum - y) * recip(cnt_on_i, cnt_on_i > 0) * m
 
         ok_pn = ((ch(OK_PN) > 0) & (ch(MSRC) > 0)).astype(jnp.int32)
         xg_pn = jax.lax.dot(sel(ch(PN_SRC), ok_pn), x,
-                            preferred_element_type=F32)
+                            preferred_element_type=F32).astype(cdt)
         gr_pn = jax.lax.dot(seld(ch(DIST_PN), ok_pn), gates,
-                            preferred_element_type=F32)
+                            preferred_element_type=F32).astype(cdt)
         z = jax.nn.relu(xg_pn * gr_pn)
-        z_sum = jax.lax.dot(a_col, z, preferred_element_type=F32)
+        z_sum = jax.lax.dot(a_col, z, preferred_element_type=F32
+                            ).astype(cdt)
         cnt_nx_i = ch(CNT_NX)
         valid = (ch(OK_PN) > 0) & (cnt_nx_i > 0)
         h_nx = (z_sum - z) * recip(cnt_nx_i, valid) * m
@@ -247,7 +265,7 @@ def _bwd_weight_kernel(aux_ref, x_ref, g_ref, gates_ref, dw_ref,
             rows = slice(t * n_steps, (t + 1) * n_steps)
             dw_ref[t * d:(t + 1) * d, :] += dw(h_tr[rows], g[rows]).astype(
                 dw_ref.dtype)
-        h_self = y * ch(SINGLE).astype(F32)
+        h_self = y * ch(SINGLE).astype(cdt)
         dw_ref[n_tracks * d:(n_tracks + 1) * d, :] += dw(h_self, g).astype(
             dw_ref.dtype)
         dw_ref[(n_tracks + 1) * d:(n_tracks + 2) * d, :] += dw(

@@ -59,9 +59,12 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
 
 def create_train_state(model: VAE, cfg: TrainConfig, rng,
                        sample_tokens, sample_mask) -> TrainState:
+    # parameter shapes don't depend on batch: init on ONE sample so the
+    # throwaway init forward stays tiny (a full-batch init compiles a
+    # second big eval graph for nothing)
     variables = model.init(
         {"params": rng, "sample": jax.random.fold_in(rng, 1)},
-        sample_tokens, sample_mask, deterministic=True)
+        sample_tokens[:1], sample_mask[:1], deterministic=True)
     optimizer = make_optimizer(cfg)
     return TrainState(
         step=jnp.zeros((), jnp.int32),
