@@ -87,6 +87,15 @@ def v_bf16():
                       "seq_s": round(256 / dt, 1)}), flush=True)
 
 
-V = {"fwd": v_fwd, "grad": v_grad, "bf16": v_bf16}
+def v_evalfwd():
+    def scalar(r):
+        return _forward_loss(model, cfg, state.params, state.batch_stats,
+                             toks, mask, r, jnp.zeros(()), False,
+                             with_metrics=False)[0]
+
+    chain_time("evalfwd256", scalar)
+
+
+V = {"fwd": v_fwd, "grad": v_grad, "bf16": v_bf16, "evalfwd": v_evalfwd}
 for k in (sys.argv[1:] or ["fwd", "grad", "bf16"]):
     V[k]()
