@@ -184,12 +184,11 @@ def song_from_tokens(tokens: np.ndarray, mask: np.ndarray, resolution: int,
     return Song(resolution=resolution, tempo=120.0, tracks=tracks)
 
 
-def load_structure_file(path: str, n_bars: int, n_tracks: int,
-                        n_timesteps: int) -> np.ndarray:
-    """Load + validate a structure-conditioning JSON
+def load_structure_array(s: np.ndarray, n_bars: int, n_tracks: int,
+                         n_timesteps: int) -> np.ndarray:
+    """Validate a structure-conditioning tensor
     (reference generate.py:196-232): tile partial bars, fix empty bars."""
-    with open(path) as f:
-        s = np.asarray(json.load(f), dtype=bool)
+    s = np.asarray(s, dtype=bool)
     expected = [n_bars, n_tracks, n_timesteps]
     dims = list(s.shape)
     if dims != expected:
@@ -204,6 +203,14 @@ def load_structure_file(path: str, n_bars: int, n_tracks: int,
         s = s.copy()
         s[empty, 0, 0] = True
     return s
+
+
+def load_structure_file(path: str, n_bars: int, n_tracks: int,
+                        n_timesteps: int) -> np.ndarray:
+    """Load + validate a structure-conditioning JSON file."""
+    with open(path) as f:
+        return load_structure_array(np.asarray(json.load(f), dtype=bool),
+                                    n_bars, n_tracks, n_timesteps)
 
 
 def synthesize_audio(midi_path: str, soundfont_path: Optional[str]) -> bool:

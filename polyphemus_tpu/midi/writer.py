@@ -38,7 +38,9 @@ def _meta_track(song: Song) -> bytes:
     return _chunk(b"MTrk", ev)
 
 
-def write_midi(path: str, song: Song) -> None:
+def midi_bytes(song: Song) -> bytes:
+    """Serialize a Song to SMF bytes (in-memory variant of write_midi,
+    used by the generation server)."""
     chunks: List[bytes] = [_meta_track(song)]
 
     next_melodic_ch = 0
@@ -79,5 +81,9 @@ def write_midi(path: str, song: Song) -> None:
 
     header = _chunk(
         b"MThd", struct.pack(">HHH", 1, len(chunks), song.resolution))
+    return header + b"".join(chunks)
+
+
+def write_midi(path: str, song: Song) -> None:
     with open(path, "wb") as f:
-        f.write(header + b"".join(chunks))
+        f.write(midi_bytes(song))

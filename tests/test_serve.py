@@ -1,0 +1,82 @@
+"""Generation server end-to-end: healthz, MIDI and token responses,
+structure conditioning, input validation."""
+import base64
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from polyphemus_tpu.serve import serve
+
+from .test_generate_cli import save_native_model
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    model_dir = save_native_model(tmp_path_factory.mktemp("srv"))
+    httpd, svc = serve(model_dir, port=0, batch_cap=4, warmup=True)
+    th = threading.Thread(target=httpd.serve_forever, daemon=True)
+    th.start()
+    yield f"http://127.0.0.1:{httpd.server_address[1]}"
+    httpd.shutdown()
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url + "/generate", data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_healthz(server):
+    with urllib.request.urlopen(server + "/healthz", timeout=30) as r:
+        body = json.loads(r.read())
+    assert body["status"] == "ok"
+    assert body["batch_cap"] == 4
+
+
+def test_generate_midi(server):
+    status, body = _post(server, {"n": 2, "seed": 5})
+    assert status == 200
+    assert len(body["midi_b64"]) == 2
+    from polyphemus_tpu.midi.parser import read_midi
+    import tempfile, os
+
+    raw = base64.b64decode(body["midi_b64"][0])
+    assert raw[:4] == b"MThd"
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "x.mid")
+        open(path, "wb").write(raw)
+        song, tpq, _ = read_midi(path)
+        assert song.tracks  # parses back
+
+    # deterministic: same seed -> same bytes; different seed -> different
+    status2, body2 = _post(server, {"n": 2, "seed": 5})
+    assert body2["midi_b64"] == body["midi_b64"]
+    _, body3 = _post(server, {"n": 2, "seed": 6})
+    assert body3["midi_b64"] != body["midi_b64"]
+
+
+def test_generate_tokens_and_structure(server):
+    s = np.zeros((2, 4, 32), bool)
+    s[:, :, ::8] = True
+    status, body = _post(server, {"n": 1, "format": "tokens",
+                                  "structure": s.tolist()})
+    assert status == 200
+    mask = np.asarray(body["mask"], bool)
+    assert mask.shape == (1, 2, 4, 32)
+    np.testing.assert_array_equal(mask[0], s)
+    toks = np.asarray(body["tokens"])
+    assert toks.shape == (1, 2, 4, 32, 15, 2)
+
+
+def test_generate_validation(server):
+    status, body = _post(server, {"n": 99})
+    assert status == 400
+    assert "n must be" in body["error"]
