@@ -290,7 +290,11 @@ def gcl_fused(x, gate_table, rel_weight, root, bias, aux, mask):
     gathers/gates recompute in VMEM). mask/aux receive float0 cotangents.
     """
     wbig = pack_weights(rel_weight, root, mask.shape[-2], dtype=x.dtype)
-    return gcl_apply_pallas(x, aux, gate_table, wbig, bias.astype(x.dtype))
+    # bf16 halves every VMEM buffer: run double-size training tiles
+    # (fp32 stays at 4 — within ~1 MB of the 16 MB scoped limit already)
+    bb = 8 if np.dtype(x.dtype).itemsize <= 2 else 4
+    return gcl_apply_pallas(x, aux, gate_table, wbig, bias.astype(x.dtype),
+                            bars_per_block=bb)
 
 
 def _gcl_fused_fwd(x, gate_table, rel_weight, root, bias, aux, mask):
@@ -306,8 +310,11 @@ def _gcl_fused_bwd(res, g):
     d = x.shape[-1]
     aux = build_kernel_aux(mask)
     wbig = pack_weights(rel_weight, root, n_tracks, dtype=x.dtype)
+    bf16 = np.dtype(x.dtype).itemsize <= 2  # double tiles fit in VMEM
     dx, dgt, dwbig, dbias = gcl_pallas_bwd.gcl_backward_pallas(
-        x, aux, gate_table.astype(x.dtype), wbig, g)
+        x, aux, gate_table.astype(x.dtype), wbig, g,
+        bars_per_block_data=4 if bf16 else 2,
+        bars_per_block_w=8 if bf16 else 4)
     blocks = [dwbig[i * d:(i + 1) * d] for i in range(8)]
     d_rel = jnp.stack([blocks[0] + blocks[n_tracks]] + blocks[1:n_tracks]
                       + blocks[n_tracks + 1:n_tracks + 3])
