@@ -353,14 +353,28 @@ class Trainer:
 
     def evaluate(self, state: TrainState, valid_iter_fn, rng=None):
         rng = rng if rng is not None else jax.random.key(0)
+        # enqueue every eval batch, then read everything back in ONE
+        # stacked transfer (same no-per-step-sync policy as _drain)
+        pending = []
+        for i, (tokens, mask) in enumerate(valid_iter_fn()):
+            pending.append(self._eval_step(state, tokens, mask,
+                                           jax.random.fold_in(rng, i)))
+        if not pending:
+            return {}, {}
+        leaves = []
+        for losses, accs in pending:
+            leaves.extend(jax.tree_util.tree_leaves((losses, accs)))
+        per = len(leaves) // len(pending)
+        flat = np.asarray(jnp.stack(leaves))
         losses_all = defaultdict(list)
         accs_all = defaultdict(list)
-        for i, (tokens, mask) in enumerate(valid_iter_fn()):
-            losses, accs = self._eval_step(state, tokens, mask,
-                                           jax.random.fold_in(rng, i))
-            for k, v in losses.items():
+        struct = jax.tree_util.tree_structure(pending[0])
+        for i in range(len(pending)):
+            l_host, a_host = jax.tree_util.tree_unflatten(
+                struct, flat[i * per:(i + 1) * per])
+            for k, v in l_host.items():
                 losses_all[k].append(float(v))
-            for k, v in accs.items():
+            for k, v in a_host.items():
                 accs_all[k].append(float(v))
         return ({k: float(np.mean(v)) for k, v in losses_all.items()},
                 {k: float(np.mean(v)) for k, v in accs_all.items()})
