@@ -17,16 +17,21 @@ def main(argv=None):
     p.add_argument("--host", type=str, default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--batch_cap", type=int, default=64)
+    p.add_argument("--tiers", type=int, nargs="+", default=None,
+                   help="latency tiers (compiled batch sizes); requests "
+                        "route to the smallest tier >= n. Default: 1 8 "
+                        "batch_cap")
     p.add_argument("--no_warmup", action="store_true", default=False)
     args = p.parse_args(argv)
 
     from ..serve import serve
 
     httpd, svc = serve(args.model_dir, host=args.host, port=args.port,
-                       batch_cap=args.batch_cap, warmup=not args.no_warmup)
+                       batch_cap=args.batch_cap, warmup=not args.no_warmup,
+                       tiers=args.tiers)
     print(f"Serving {args.model_dir} (d={svc.mc.d}, n_bars={svc.mc.n_bars}, "
-          f"batch_cap={svc.batch_cap}) on http://{args.host}:"
-          f"{httpd.server_address[1]}")
+          f"batch_cap={svc.batch_cap}, tiers={svc.tiers}) on "
+          f"http://{args.host}:{httpd.server_address[1]}")
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:

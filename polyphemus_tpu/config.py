@@ -39,6 +39,10 @@ class ModelConfig:
     # flattened bar count, so small batches never pad up to a block. 8/16
     # won the round-2 sweep at both 2 and 16 bars (PERFORMANCE.md); the
     # training custom-vjp kernels keep their own (smaller) VMEM-safe tiles.
+    # NOTE: on the fp32 eval path the GCL tile is additionally clamped to 4
+    # (fp32 packed weights alone hold 8.4 MB of the 16 MB scoped VMEM, and
+    # 6/8-bar fp32 blocks overflowed inside the batch-256 eval graph) — so
+    # values > 4 here only take full effect under bf16.
     gcl_bars_per_block: int = 8
     tail_bars_per_block: int = 16
     # Histogram/gather-fused content-encoder front end: computes the masked

@@ -8,6 +8,7 @@ fast-path hook BatchLoader prefers over per-sample __getitem__.
 """
 from __future__ import annotations
 
+import ast
 import ctypes
 import json
 import mmap
@@ -54,8 +55,7 @@ def _npz_member_views(path: str, members: Tuple[str, ...]):
                 (hlen,) = struct.unpack_from("<I", mm, payload + 8)
                 data_off = payload + 12 + hlen
                 header = bytes(mm[payload + 12:payload + 12 + hlen])
-            meta = eval(header.decode("latin-1"), {"__builtins__": {}},
-                        {"False": False, "True": True})
+            meta = ast.literal_eval(header.decode("latin-1").strip())
             dtype = np.dtype(meta["descr"])
             shape = meta["shape"]
             if meta.get("fortran_order"):

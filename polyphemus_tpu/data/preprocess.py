@@ -247,6 +247,8 @@ def preprocess_midi_dataset(midi_dataset_dir: str, preprocessed_dir: str,
 
     jobs = []
     for dirpath, _, files in os.walk(midi_dataset_dir):
+        if n_files is not None and len(jobs) >= n_files:
+            break
         for f in files:
             jobs.append((os.path.join(dirpath, f), preprocessed_dir,
                          n_bars, resolution, None, ref_parity))

@@ -1,16 +1,18 @@
 """Minimal production generation server.
 
 The reference has no serving story (SURVEY.md: CLI scripts only); this is
-the framework's deployment surface: load a checkpoint once, keep ONE warm
-jitted generator (fixed max batch, so every request reuses the same
-compiled program — requests are padded to `batch_cap` and sliced), render
-MIDI host-side, serve over stdlib HTTP (no extra dependencies).
+the framework's deployment surface: load a checkpoint once, keep warm
+jitted generators per batch *tier* (1 / 8 / batch_cap by default) so a
+single-sequence request doesn't pay the full-batch compute — each request
+routes to the smallest tier >= n, pads to it, and slices the outputs.
+MIDI renders host-side; HTTP is stdlib (no extra dependencies).
 
     python -m polyphemus_tpu.cli.serve MODEL_DIR --port 8000
 
 API:
   GET  /healthz
-      -> {"status": "ok", "model": ..., "n_bars": N, "batch_cap": B}
+      -> {"status": "ok", "model": ..., "n_bars": N, "batch_cap": B,
+          "tiers": [...]}
   POST /generate   {"n": 4, "seed": 123,
                     "structure": [[...]] optional conditioning tensor,
                     "structure_temp": 0.0, "content_temp": 0.0,
@@ -19,18 +21,25 @@ API:
          or {"tokens": [...], "mask": [...]} for downstream pipelines.
 
 Device work is serialized with a lock (one chip, one program); MIDI
-rendering happens outside the lock. Temperature pairs other than the ones
-already seen compile a new generator once and are cached.
+rendering happens outside the lock. Generators are cached per
+(tier, temps, conditioned); temperatures are quantized to 2 decimals and
+the cache is a bounded LRU, so arbitrary client-supplied floats cannot
+grow the compile cache without bound. Cache check-and-insert happens
+under the device lock (compilation is serialized with device work anyway).
 """
 from __future__ import annotations
 
 import base64
 import json
 import threading
+from collections import OrderedDict
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Optional
+from typing import Optional, Sequence
 
 import numpy as np
+
+# generator-cache bound: tiers (3) x temp pairs x {cond, uncond}
+_MAX_CACHED_GENERATORS = 24
 
 
 class GenerationService:
@@ -38,37 +47,64 @@ class GenerationService:
     tests or other frontends directly)."""
 
     def __init__(self, model_dir: str, batch_cap: int = 64,
-                 use_pallas: Optional[bool] = None):
+                 use_pallas: Optional[bool] = None,
+                 tiers: Optional[Sequence[int]] = None):
         import jax
 
         from . import generate as G
 
         self.model_dir = model_dir
         self.batch_cap = batch_cap
+        # latency tiers: requests pad to the smallest tier >= n, so n=1
+        # costs tier-1 compute, not batch_cap compute
+        if tiers is None:
+            tiers = [t for t in (1, 8) if t < batch_cap] + [batch_cap]
+        self.tiers = sorted(set(int(t) for t in tiers))
+        if self.tiers[-1] != batch_cap:
+            raise ValueError("largest tier must equal batch_cap")
         self.model, self.variables, self.cfg = G.load_model(model_dir)
         self.mc = self.cfg.model
         self.pallas = (jax.default_backend() == "tpu"
                        if use_pallas is None else use_pallas)
-        self._gens: dict = {}
+        self._gens: OrderedDict = OrderedDict()
         self._lock = threading.Lock()
         self._G = G
 
-    def _generator(self, s_temp: float, c_temp: float, conditioned: bool):
-        key = (float(s_temp), float(c_temp), bool(conditioned))
-        if key not in self._gens:
-            self._gens[key] = self._G.make_generator(
-                self.model, self.variables, conditioned=conditioned,
-                pallas=self.pallas, structure_temp=s_temp,
-                content_temp=c_temp,
-                sample_seed=int(s_temp * 1e3 + c_temp) & 0x7FFFFFFF)
-        return self._gens[key]
+    def tier_for(self, n: int) -> int:
+        for t in self.tiers:
+            if n <= t:
+                return t
+        raise ValueError(f"n must be in [1, {self.batch_cap}]")
 
-    def warmup(self):
+    def _generator_locked(self, tier: int, s_temp: float, c_temp: float,
+                          conditioned: bool):
+        """Caller must hold self._lock."""
+        # quantize client floats so the key space (and compile count) is
+        # bounded; 2 decimals is far below audible temperature resolution
+        key = (int(tier), round(float(s_temp), 2), round(float(c_temp), 2),
+               bool(conditioned))
+        gen = self._gens.get(key)
+        if gen is None:
+            gen = self._G.make_generator(
+                self.model, self.variables, conditioned=conditioned,
+                pallas=self.pallas, structure_temp=key[1],
+                content_temp=key[2],
+                sample_seed=int(key[1] * 1e3 + key[2]) & 0x7FFFFFFF)
+            self._gens[key] = gen
+            while len(self._gens) > _MAX_CACHED_GENERATORS:
+                self._gens.popitem(last=False)
+        else:
+            self._gens.move_to_end(key)
+        return gen
+
+    def warmup(self, all_tiers: bool = True):
         import jax
 
-        z = jax.numpy.zeros((self.batch_cap, self.mc.d))
         with self._lock:
-            jax.block_until_ready(self._generator(0.0, 0.0, False)(z))
+            for tier in (self.tiers if all_tiers else self.tiers[-1:]):
+                z = jax.numpy.zeros((tier, self.mc.d))
+                jax.block_until_ready(
+                    self._generator_locked(tier, 0.0, 0.0, False)(z))
 
     def generate(self, n: int, seed: int = 0, structure=None,
                  structure_temp: float = 0.0, content_temp: float = 0.0):
@@ -79,18 +115,20 @@ class GenerationService:
 
         if not 1 <= n <= self.batch_cap:
             raise ValueError(f"n must be in [1, {self.batch_cap}]")
-        # pad to the fixed compiled batch; slice the outputs
+        tier = self.tier_for(n)
+        # pad to the tier's fixed compiled batch; slice the outputs
         z = np.asarray(generate_z(seed, n, self.mc.d))
-        z_pad = np.zeros((self.batch_cap, self.mc.d), z.dtype)
+        z_pad = np.zeros((tier, self.mc.d), z.dtype)
         z_pad[:n] = z
         cond = structure is not None
         if cond:
             s = self._G.load_structure_array(
                 np.asarray(structure, dtype=bool), self.mc.n_bars,
                 self.mc.n_tracks, self.mc.n_timesteps)
-            s_b = np.broadcast_to(s, (self.batch_cap,) + s.shape)
-        gen = self._generator(structure_temp, content_temp, cond)
+            s_b = np.broadcast_to(s, (tier,) + s.shape)
         with self._lock:
+            gen = self._generator_locked(tier, structure_temp, content_temp,
+                                         cond)
             out = gen(z_pad, s_b) if cond else gen(z_pad)
             mask, tokens = (np.asarray(out[0]), np.asarray(out[1]))
         return mask[:n], tokens[:n]
@@ -124,7 +162,7 @@ def make_handler(svc: GenerationService):
                 self._send(200, {
                     "status": "ok", "model": svc.model_dir,
                     "n_bars": svc.mc.n_bars, "d": svc.mc.d,
-                    "batch_cap": svc.batch_cap,
+                    "batch_cap": svc.batch_cap, "tiers": svc.tiers,
                 })
             else:
                 self._send(404, {"error": "unknown path"})
@@ -159,10 +197,11 @@ def make_handler(svc: GenerationService):
 
 
 def serve(model_dir: str, host: str = "127.0.0.1", port: int = 8000,
-          batch_cap: int = 64, warmup: bool = True):
+          batch_cap: int = 64, warmup: bool = True,
+          tiers: Optional[Sequence[int]] = None):
     """Blocking server entry point; returns the (started) server object
     when called with port=0 in tests (caller handles serve_forever)."""
-    svc = GenerationService(model_dir, batch_cap=batch_cap)
+    svc = GenerationService(model_dir, batch_cap=batch_cap, tiers=tiers)
     if warmup:
         svc.warmup()
     httpd = ThreadingHTTPServer((host, port), make_handler(svc))

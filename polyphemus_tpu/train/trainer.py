@@ -214,7 +214,13 @@ class Trainer:
         self.print_every = print_every
         self.save_every = save_every
         self.eval_every = eval_every
-        self.log = log_fn
+        # Multi-host: every process runs the identical compute path (the
+        # jitted step needs all hosts to participate in the collectives),
+        # but only process 0 touches the shared filesystem / terminal —
+        # checkpoints, metrics.jsonl, TensorBoard, and log output would
+        # otherwise race N ways on a shared model_dir.
+        self.is_primary = jax.process_index() == 0
+        self.log = log_fn if self.is_primary else (lambda *a, **k: None)
         self.optimizer = make_optimizer(cfg)
 
         bsh = pmesh.batch_sharding(self.mesh)
@@ -226,7 +232,9 @@ class Trainer:
                                   in_shardings=(None, bsh, bsh, None))
 
         self._jsonl_path = (os.path.join(model_dir, "metrics.jsonl")
-                            if jsonl_metrics else None)
+                            if jsonl_metrics and self.is_primary else None)
+        if tensorboard and not self.is_primary:
+            tensorboard = False
         # optional TensorBoard mirror of the JSONL metrics (the reference
         # has neither — SURVEY.md §5 metrics row; torch's SummaryWriter is
         # dependency-free here since torch-cpu is part of the toolchain)
@@ -249,13 +257,18 @@ class Trainer:
         self.tot_batches = 0
         self.cur_epoch = 0
         # failure detection: abort after this many consecutive NaN/inf
-        # losses instead of silently corrupting the checkpoint
+        # losses instead of silently corrupting the checkpoint. Detection
+        # runs at drain time, so its latency is bounded by _max_pending
+        # below, not by print_every/save_every.
         self.max_nan_steps = 5
         self._nan_steps = 0
         # async metrics: device scalars buffer here per step and drain to
         # host floats only at print/eval/save boundaries — no per-step
-        # device->host sync (round-1 cost: ~25 ms tunnel RTT per step)
+        # device->host sync (round-1 cost: ~25 ms tunnel RTT per step).
+        # The buffer is capped so NaN detection fires within _max_pending
+        # steps even when print/eval/save boundaries are sparse.
         self._pending: list = []
+        self._max_pending = 50
 
     # ------------------------------------------------------------------ setup
     def make_device_put(self):
@@ -285,6 +298,10 @@ class Trainer:
             self.tr_losses[k] = list(v)
         for k, v in meta.get("tr_accuracies", {}).items():
             self.tr_accuracies[k] = list(v)
+        for k, v in meta.get("val_losses", {}).items():
+            self.val_losses[k] = list(v)
+        for k, v in meta.get("val_accuracies", {}).items():
+            self.val_accuracies[k] = list(v)
         self.lrs = list(meta.get("lrs", []))
         self.betas = list(meta.get("betas", []))
         shardings = pmesh.param_sharding(self.mesh, state)
@@ -329,7 +346,8 @@ class Trainer:
                 if (n % self.print_every == 0
                         or (self.eval_every and n % self.eval_every == 0)
                         or (self.save_every > 0 and n % self.save_every == 0)
-                        or (early_exit is not None and n > early_exit)):
+                        or (early_exit is not None and n > early_exit)
+                        or len(self._pending) >= self._max_pending):
                     self._drain()
                 if n % self.print_every == 0:
                     self._print_stats(epoch, epochs, start)
@@ -456,6 +474,8 @@ class Trainer:
         return state
 
     def _save(self, state, name):
+        if not self.is_primary:
+            return
         meta = {
             "epoch": self.cur_epoch,
             "tot_batches": self.tot_batches,
