@@ -42,7 +42,13 @@ class EmbedLinear(nn.Module):
                                (self.features,))
 
     def __call__(self, ids):
-        return jnp.take(self.kernel, ids, axis=0) + self.bias
+        # one-hot matmul instead of jnp.take: identical values, but the
+        # backward becomes onehot^T @ g on the MXU instead of a scatter-add
+        # into the table (profiled at 7.5 ms/step/table vs ~0.1 ms; TPU
+        # scatters serialize). Vocab is small (99/131) so the forward
+        # matmul is also cheap.
+        oh = jax.nn.one_hot(ids, self.vocab, dtype=self.kernel.dtype)
+        return oh @ self.kernel + self.bias
 
     def tables(self):
         return self.kernel, self.bias
@@ -168,6 +174,7 @@ class ContentEncoder(nn.Module):
                 num_relations=constants.N_EDGE_TYPES,
                 num_dists=cfg.n_timesteps, batch_norm=cfg.batch_norm,
                 dropout=cfg.dropout, message_dropout=cfg.message_dropout,
+                message_dropout_mode=cfg.message_dropout_mode,
                 use_pallas=cfg.use_pallas_gcl,
                 bars_per_block=cfg.gcl_bars_per_block,
                 name="graph_encoder")(
@@ -210,10 +217,13 @@ class Encoder(nn.Module):
     @nn.compact
     def __call__(self, tokens, mask, nbr, *, deterministic: bool):
         cfg = self.cfg
-        z_s = StructureEncoder(cfg, name="s_encoder")(
-            mask.astype(jnp.float32), deterministic=deterministic)
         z_c = ContentEncoder(cfg, name="c_encoder")(
             tokens, mask, nbr, deterministic=deterministic)
+        # the structure input rides the compute dtype (0/1 is exact in
+        # bf16): a hard f32 cast here used to promote z_s -> mu -> z -> the
+        # ENTIRE decoder to f32 under the bf16 policy (round-3 find)
+        z_s = StructureEncoder(cfg, name="s_encoder")(
+            mask.astype(z_c.dtype), deterministic=deterministic)
 
         z_g = jnp.concatenate([z_c, z_s], axis=-1)
         z_g = nn.Dropout(cfg.dropout, deterministic=deterministic)(z_g)
@@ -298,6 +308,7 @@ class ContentDecoder(nn.Module):
                 num_relations=constants.N_EDGE_TYPES,
                 num_dists=cfg.n_timesteps, batch_norm=cfg.batch_norm,
                 dropout=cfg.dropout, message_dropout=cfg.message_dropout,
+                message_dropout_mode=cfg.message_dropout_mode,
                 use_pallas=cfg.use_pallas_gcl,
                 bars_per_block=cfg.gcl_bars_per_block,
                 name="graph_decoder")(
@@ -345,10 +356,16 @@ class ContentDecoder(nn.Module):
                 pitch, dur = unembed(x @ w + b)
                 lp_p = jax.nn.log_softmax(pitch.astype(f32), axis=-1)
                 lp_d = jax.nn.log_softmax(dur.astype(f32), axis=-1)
-                nll_p = -jnp.take_along_axis(lp_p, pt[..., None],
-                                             axis=-1)[..., 0]
-                nll_d = -jnp.take_along_axis(lp_d, dt_[..., None],
-                                             axis=-1)[..., 0]
+                # one-hot multiply-reduce instead of take_along_axis: the
+                # gather (and its scatter-add backward) profiled at ~30 ms
+                # per step across the 15 slots; the masked reduce is pure
+                # VPU work and its backward is elementwise
+                nll_p = -jnp.sum(
+                    lp_p * jax.nn.one_hot(pt, lp_p.shape[-1], dtype=f32),
+                    axis=-1)
+                nll_d = -jnp.sum(
+                    lp_d * jax.nn.one_hot(dt_, lp_d.shape[-1], dtype=f32),
+                    axis=-1)
                 w_p = act & (pt != constants.PitchToken.PAD)
                 w_d = act & (dt_ != constants.DurationToken.PAD)
                 cp = (jnp.argmax(lp_p, axis=-1) == pt) & w_p

@@ -130,15 +130,6 @@ def _kernel(aux_ref, x_ref, gates_ref, wbig_ref, bias_ref, *rest,
         def sel(idx, ok):
             return ((src_j == idx) & (ok > 0)).astype(cdt)
 
-        def gate_rows(dist, ok):
-            sd = ((dist_j == dist) & (ok > 0)).astype(cdt)
-            return jax.lax.dot(sd, gates, preferred_element_type=f32
-                               ).astype(cdt)
-
-        def gather(idx, ok):
-            return jax.lax.dot(sel(idx, ok), x, preferred_element_type=f32
-                               ).astype(cdt)
-
         # all comparisons stay in the int32 domain (Mosaic lacks bf16 cmpf);
         # mean-divisions become f32 reciprocals cast to the compute dtype
         def recip(cnt_i, valid_i):
@@ -147,14 +138,26 @@ def _kernel(aux_ref, x_ref, gates_ref, wbig_ref, bias_ref, *rest,
 
         m = (ch(MASK_CH) > 0).astype(cdt)  # (n, 1)
 
-        # TRACK relations
+        # All three gathers (track-prev, track-next, NEXT-col) batch into
+        # ONE (3n, n) @ (n, d) selection matmul, and the three gate-table
+        # lookups into ONE (3n, S) @ (S, d) — fewer, bigger MXU dispatches
+        # and one big fused relu(x*g) instead of three small ones.
         ok_p, ok_n = ch(OK_P), ch(OK_N)
-        msg_p = jax.nn.relu(gather(ch(PREV_SRC), ok_p)
-                            * gate_rows(ch(DIST_P), ok_p))
-        msg_n = jax.nn.relu(gather(ch(NEXT_SRC), ok_n)
-                            * gate_rows(ch(DIST_N), ok_n))
+        ok_pn = ((ch(OK_PN) > 0) & (ch(MSRC) > 0)).astype(jnp.int32)
+        sel3 = jnp.concatenate([sel(ch(PREV_SRC), ok_p),
+                                sel(ch(NEXT_SRC), ok_n),
+                                sel(ch(PN_SRC), ok_pn)], axis=0)
+        dist_j3 = jnp.concatenate([dist_j] * 3, axis=0)
+        dist3 = jnp.concatenate([ch(DIST_P), ch(DIST_N), ch(DIST_PN)], 0)
+        ok3 = jnp.concatenate([ok_p, ok_n, ok_pn], 0)
+        sd3 = ((dist_j3 == dist3) & (ok3 > 0)).astype(cdt)
+        x3 = jax.lax.dot(sel3, x, preferred_element_type=f32).astype(cdt)
+        g3 = jax.lax.dot(sd3, gates, preferred_element_type=f32).astype(cdt)
+        msg3 = jax.nn.relu(x3 * g3)  # (3n, d)
+
+        # TRACK relations
         cnt_i = ok_p + ok_n
-        h_track = (msg_p + msg_n) * recip(cnt_i, cnt_i > 0) * m
+        h_track = (msg3[:n] + msg3[n:2 * n]) * recip(cnt_i, cnt_i > 0) * m
 
         # ONSET relation
         y0 = jax.nn.relu(x * g0) * m
@@ -164,9 +167,7 @@ def _kernel(aux_ref, x_ref, gates_ref, wbig_ref, bias_ref, *rest,
         h_onset = (col_sum - y0) * recip(cnt_on_i, cnt_on_i > 0) * m
 
         # NEXT relation
-        ok_pn = ((ch(OK_PN) > 0) & (ch(MSRC) > 0)).astype(jnp.int32)
-        z = jax.nn.relu(gather(ch(PN_SRC), ok_pn)
-                        * gate_rows(ch(DIST_PN), ok_pn))
+        z = msg3[2 * n:]
         z_sum = jax.lax.dot(a_col, z, preferred_element_type=f32
                             ).astype(cdt)
         cnt_nx_i = ch(CNT_NX)
@@ -299,18 +300,25 @@ def gcl_fused(x, gate_table, rel_weight, root, bias, aux, mask):
 
 def _gcl_fused_fwd(x, gate_table, rel_weight, root, bias, aux, mask):
     out = gcl_fused(x, gate_table, rel_weight, root, bias, aux, mask)
-    return out, (x, gate_table, rel_weight, root, bias, mask)
+    # aux is saved as a residual (int32, ~n/8 the size of one activation)
+    # instead of being rebuilt from the mask per layer in the backward
+    return out, (x, gate_table, rel_weight, root, bias, aux, mask)
 
 
 def _gcl_fused_bwd(res, g):
     from . import gcl_pallas_bwd
 
-    x, gate_table, rel_weight, root, bias, mask = res
+    x, gate_table, rel_weight, root, bias, aux, mask = res
     n_tracks = mask.shape[-2]
     d = x.shape[-1]
-    aux = build_kernel_aux(mask)
     wbig = pack_weights(rel_weight, root, n_tracks, dtype=x.dtype)
-    bf16 = np.dtype(x.dtype).itemsize <= 2  # double tiles fit in VMEM
+    bf16 = np.dtype(x.dtype).itemsize <= 2
+    # Two-kernel backward (dx/dG/dbias + dW) wins on hardware: the
+    # single-pass gcl_backward_fused variant measured 5.1 ms vs 3.6 ms for
+    # 512 bars bf16 (scripts/bwd_probe.py) — the fused kernel's resident
+    # Wbig + f32 dW accumulators leave no VMEM for pipelining the
+    # streamed blocks, and bb=4 fails to compile. Kept for reference;
+    # measurement recorded in PERFORMANCE.md.
     dx, dgt, dwbig, dbias = gcl_pallas_bwd.gcl_backward_pallas(
         x, aux, gate_table.astype(x.dtype), wbig, g,
         bars_per_block_data=4 if bf16 else 2,

@@ -10,15 +10,20 @@ Forward (gcl_pallas._kernel):
     h_self = y0 * single
     out = [RowMask_t h_track | h_self | h_onset | h_next | x] @ Wbig + b, * m
 
-Backward splits into two kernels:
+Backward comes in two shapes:
 
-  * kernel A (per bar block): dx, dG (gate table), dbias. Needs Wbig
-    resident; recomputes the pre-activations for the relu masks; all
-    transposed gathers are directly-built transposed selection matmuls.
-  * kernel B (grid = bar blocks): dWbig in ONE pass — all eight (d, d)
-    accumulator blocks stay VMEM-resident (8 MB at d=512), each h is
-    computed once per bar, and the four track-relation h^T @ g dots use
-    only their 32 contiguous live rows.
+  * FUSED kernel (default under bf16): dx, dG, dbias AND dWbig in ONE
+    pass. The selection matrices, gathered pre-activations, and relu
+    masks are built once per bar and shared between the data-grad and
+    weight-grad paths; transposed gathers/scatters contract dot_general
+    over dim 0 of the *already-built* selection matrices (no separate
+    transposed builds); x/g stream from HBM exactly once. All eight
+    (d, d) dW accumulators stay VMEM-resident (8 MB f32 at d=512), which
+    together with the resident bf16 Wbig (4.2 MB) fits the 16 MB scoped
+    VMEM only under the bf16 compute policy.
+  * Two-kernel split (fp32 fallback): kernel A (dx/dG/dbias, Wbig
+    resident) + kernel B (dWbig, accumulators resident). fp32 cannot fuse:
+    Wbig (8.4 MB) + accumulators (8.4 MB) alone exceed VMEM.
 
 Everything is verified against jax.grad of the XLA lattice path in
 interpret mode (tests/test_pallas_grad.py).
@@ -97,6 +102,11 @@ def _bwd_data_kernel(aux_ref, x_ref, g_ref, gates_ref, wbig_ref,
     g0 = gates[0:1, :]
     wbig = wbig_ref[:]  # (8d, d) compute dtype
 
+    def t_dot(a, b):
+        # a^T @ b without materializing a^T: contract dim 0 of both
+        return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=F32)
+
     for b in range(bars_per_block):
         (ch, ch_row, sel, sel_t, seld, seld_t, recip, a_col) = _common(
             aux_ref, b, n, n_steps, cdt)
@@ -104,13 +114,16 @@ def _bwd_data_kernel(aux_ref, x_ref, g_ref, gates_ref, wbig_ref,
         m = (ch(MASK_CH) > 0).astype(cdt)
         g = g_ref[b] * m
 
-        # dHbig = g @ Wbig^T, computed per 512-block via dot_general with
-        # contraction on Wbig's output dim (no transpose materialization).
-        def dh(block):
-            wblk = wbig[block * d:(block + 1) * d]  # (d, d)
-            return jax.lax.dot_general(
-                g, wblk, (((1,), (1,)), ((), ())),
-                preferred_element_type=F32)  # (n, d) f32
+        # dH for the four shared relation blocks [self|onset|next|root] in
+        # ONE (n, d) @ (d, 4d) dot (contraction on Wbig's output dim — no
+        # transpose materialization), split by column afterwards.
+        dh4 = jax.lax.dot_general(
+            g, wbig[n_tracks * d:], (((1,), (1,)), ((), ())),
+            preferred_element_type=F32)  # (n, 4d) f32
+        dh_self = dh4[:, :d]
+        dh_onset = dh4[:, d:2 * d]
+        dh_next = dh4[:, 2 * d:3 * d]
+        dx = dh4[:, 3 * d:]  # root path, f32 accumulator
 
         # Track rows are contiguous (cell i = t*S + s), so each track's
         # dh needs only its 32-row slice of g — (S, d) @ (d, d) instead of
@@ -121,39 +134,45 @@ def _bwd_data_kernel(aux_ref, x_ref, g_ref, gates_ref, wbig_ref,
                 wbig[t * d:(t + 1) * d],
                 (((1,), (1,)), ((), ())), preferred_element_type=F32)
             for t in range(n_tracks)], axis=0)  # (n, d)
-        dh_self = dh(n_tracks)
-        dh_onset = dh(n_tracks + 1)
-        dh_next = dh(n_tracks + 2)
-        dx = dh(n_tracks + 3)  # root path, f32 accumulator
 
         dbias_ref[...] += jnp.sum(g.astype(F32), axis=0,
                                   keepdims=True).astype(dbias_ref.dtype)
 
-        # ---- TRACK path --------------------------------------------------
+        # ---- stacked gather recompute: track-prev, track-next, NEXT-col
+        # in one (3n, n) @ (n, d) and one (3n, S) @ (S, d); pre-activations
+        # use the same cdt-dot/f32-accum ops as the forward kernel so the
+        # relu masks agree bit for bit
         ok_p, ok_n = ch(OK_P), ch(OK_N)
+        ok_pn = ((ch(OK_PN) > 0) & (ch(MSRC) > 0)).astype(jnp.int32)
+        sel3 = jnp.concatenate([sel(ch(PREV_SRC), ok_p),
+                                sel(ch(NEXT_SRC), ok_n),
+                                sel(ch(PN_SRC), ok_pn)], axis=0)
+        sd3 = jnp.concatenate([seld(ch(DIST_P), ok_p),
+                               seld(ch(DIST_N), ok_n),
+                               seld(ch(DIST_PN), ok_pn)], axis=0)
+        x3 = jax.lax.dot(sel3, x, preferred_element_type=F32).astype(cdt)
+        g3 = jax.lax.dot(sd3, gates, preferred_element_type=F32).astype(cdt)
+        pre3 = x3 * g3
+
+        # ---- TRACK upstream ------------------------------------------------
         cnt_i = ok_p + ok_n
         dmsg = dh_track * recip(cnt_i, cnt_i > 0) * m  # f32, same for p/n
-        for idx_c, dist_c, ok_c in ((PREV_SRC, DIST_P, OK_P),
-                                    (NEXT_SRC, DIST_N, OK_N)):
-            ok = ch(ok_c)
-            s_m = sel(ch(idx_c), ok)
-            # pre-activation recomputed exactly as the forward kernel does
-            # (cdt dots, f32 accum, cast back) so the relu masks agree
-            xg = jax.lax.dot(s_m, x, preferred_element_type=F32).astype(cdt)
-            sd = seld(ch(dist_c), ok)
-            gr = jax.lax.dot(sd, gates, preferred_element_type=F32
-                             ).astype(cdt)
-            pre = xg * gr
-            dpre = dmsg * (pre.astype(F32) > 0).astype(F32)
-            # dx += P^T (dpre * gr)
-            st = sel_t(ch_row(idx_c), ch_row(ok_c))
-            dx += jax.lax.dot(st, (dpre * gr).astype(cdt),
-                              preferred_element_type=F32)
-            # dG += selD^T (dpre * xg)
-            sdt = seld_t(ch_row(dist_c), ch_row(ok_c))
-            dg_ref[...] += jax.lax.dot(
-                sdt, (dpre * xg).astype(cdt), preferred_element_type=F32
-            ).astype(dg_ref.dtype)
+
+        # ---- NEXT upstream -------------------------------------------------
+        cnt_nx_i = ch(CNT_NX)
+        valid_nx = (ch(OK_PN) > 0) & (cnt_nx_i > 0)
+        dnx = (dh_next * recip(cnt_nx_i, valid_nx) * m).astype(cdt)
+        dz = (jax.lax.dot(a_col, dnx, preferred_element_type=F32)
+              - dnx.astype(F32))
+
+        # stacked dpre for all three gathered relations, then the two
+        # transposed scatters (dx and dG) each collapse into ONE dot over
+        # the already-built sel3/sd3 (contract dim 0 = transpose)
+        dpre3 = (jnp.concatenate([dmsg, dmsg, dz], axis=0)
+                 * (pre3.astype(F32) > 0).astype(F32))
+        dx += t_dot(sel3, (dpre3 * g3.astype(F32)).astype(cdt))
+        dg_ref[...] += t_dot(sd3, (dpre3 * x3.astype(F32)).astype(cdt)
+                             ).astype(dg_ref.dtype)
 
         # ---- ONSET + SELF path --------------------------------------------
         cnt_on_i = ch(CNT_ON)
@@ -168,30 +187,6 @@ def _bwd_data_kernel(aux_ref, x_ref, g_ref, gates_ref, wbig_ref,
         dx += dpre0 * g0.astype(F32)
         dg_row0 = jnp.sum(dpre0 * x.astype(F32), axis=0, keepdims=True)
         dg_ref[0:1, :] += dg_row0.astype(dg_ref.dtype)
-
-        # ---- NEXT path ------------------------------------------------------
-        ok_pn_src = ((ch(OK_PN) > 0) & (ch(MSRC) > 0)).astype(jnp.int32)
-        cnt_nx_i = ch(CNT_NX)
-        valid_nx = (ch(OK_PN) > 0) & (cnt_nx_i > 0)
-        dnx = (dh_next * recip(cnt_nx_i, valid_nx) * m).astype(cdt)
-        dz = (jax.lax.dot(a_col, dnx, preferred_element_type=F32)
-              - dnx.astype(F32))
-        s_pn = sel(ch(PN_SRC), ok_pn_src)
-        xg_pn = jax.lax.dot(s_pn, x, preferred_element_type=F32).astype(cdt)
-        sd_pn = seld(ch(DIST_PN), ok_pn_src)
-        gr_pn = jax.lax.dot(sd_pn, gates, preferred_element_type=F32
-                            ).astype(cdt)
-        pre_pn = xg_pn * gr_pn
-        dpre_pn = dz * (pre_pn.astype(F32) > 0).astype(F32)
-        ok_pn_row = ((ch_row(OK_PN) > 0) & (ch_row(MSRC) > 0)).astype(
-            jnp.int32)
-        st_pn = sel_t(ch_row(PN_SRC), ok_pn_row)
-        dx += jax.lax.dot(st_pn, (dpre_pn * gr_pn).astype(cdt),
-                          preferred_element_type=F32)
-        sdt_pn = seld_t(ch_row(DIST_PN), ok_pn_row)
-        dg_ref[...] += jax.lax.dot(
-            sdt_pn, (dpre_pn * xg_pn).astype(cdt), preferred_element_type=F32
-        ).astype(dg_ref.dtype)
 
         dx_ref[b] = dx.astype(dx_ref.dtype)
 
@@ -227,20 +222,23 @@ def _bwd_weight_kernel(aux_ref, x_ref, g_ref, gates_ref, dw_ref,
         m = (ch(MASK_CH) > 0).astype(cdt)
         g = g_ref[b] * m
 
-        # h_track once (shared by the four track blocks); identical ops to
-        # the forward kernel (cdt dots, f32 accum) so h matches bit-for-bit
+        # h rebuild with the stacked-selection trick (one (3n, n) gather
+        # dot + one (3n, S) gate dot); identical ops to the forward kernel
+        # (cdt dots, f32 accum) so h matches bit-for-bit
         ok_p, ok_n = ch(OK_P), ch(OK_N)
-        parts = jnp.zeros((n, d), cdt)
-        for idx_c, dist_c, ok_c in ((PREV_SRC, DIST_P, OK_P),
-                                    (NEXT_SRC, DIST_N, OK_N)):
-            ok = ch(ok_c)
-            xg = jax.lax.dot(sel(ch(idx_c), ok), x,
-                             preferred_element_type=F32).astype(cdt)
-            gr = jax.lax.dot(seld(ch(dist_c), ok), gates,
-                             preferred_element_type=F32).astype(cdt)
-            parts += jax.nn.relu(xg * gr)
+        ok_pn = ((ch(OK_PN) > 0) & (ch(MSRC) > 0)).astype(jnp.int32)
+        sel3 = jnp.concatenate([sel(ch(PREV_SRC), ok_p),
+                                sel(ch(NEXT_SRC), ok_n),
+                                sel(ch(PN_SRC), ok_pn)], axis=0)
+        sd3 = jnp.concatenate([seld(ch(DIST_P), ok_p),
+                               seld(ch(DIST_N), ok_n),
+                               seld(ch(DIST_PN), ok_pn)], axis=0)
+        x3 = jax.lax.dot(sel3, x, preferred_element_type=F32).astype(cdt)
+        g3 = jax.lax.dot(sd3, gates, preferred_element_type=F32).astype(cdt)
+        msg3 = jax.nn.relu(x3 * g3)
+
         cnt_i = ok_p + ok_n
-        h_tr = parts * recip(cnt_i, cnt_i > 0) * m
+        h_tr = (msg3[:n] + msg3[n:2 * n]) * recip(cnt_i, cnt_i > 0) * m
 
         y = jax.nn.relu(x * g0) * m
 
@@ -249,12 +247,7 @@ def _bwd_weight_kernel(aux_ref, x_ref, g_ref, gates_ref, dw_ref,
                               ).astype(cdt)
         h_on = (col_sum - y) * recip(cnt_on_i, cnt_on_i > 0) * m
 
-        ok_pn = ((ch(OK_PN) > 0) & (ch(MSRC) > 0)).astype(jnp.int32)
-        xg_pn = jax.lax.dot(sel(ch(PN_SRC), ok_pn), x,
-                            preferred_element_type=F32).astype(cdt)
-        gr_pn = jax.lax.dot(seld(ch(DIST_PN), ok_pn), gates,
-                            preferred_element_type=F32).astype(cdt)
-        z = jax.nn.relu(xg_pn * gr_pn)
+        z = msg3[2 * n:]
         z_sum = jax.lax.dot(a_col, z, preferred_element_type=F32
                             ).astype(cdt)
         cnt_nx_i = ch(CNT_NX)
@@ -274,6 +267,210 @@ def _bwd_weight_kernel(aux_ref, x_ref, g_ref, gates_ref, dw_ref,
             h_nx, g).astype(dw_ref.dtype)
         dw_ref[(n_tracks + 3) * d:(n_tracks + 4) * d, :] += dw(
             x, g).astype(dw_ref.dtype)
+
+
+def _bwd_fused_kernel(aux_ref, x_ref, g_ref, gates_ref, wbig_ref,
+                      dx_ref, dg_ref, dbias_ref, dw_ref,
+                      *, bars_per_block: int, n_tracks: int, n_steps: int,
+                      d: int):
+    """Single-pass backward: dx (streamed), dG/dbias/dWbig (VMEM-resident
+    accumulators). Shares every recomputed forward intermediate between the
+    data-grad and weight-grad paths and never builds a transposed selection
+    matrix: sel^T contractions are dot_generals over dim 0 of sel."""
+    n = n_tracks * n_steps
+    first = pl.program_id(0) == 0
+
+    @pl.when(first)
+    def _():
+        dg_ref[...] = jnp.zeros_like(dg_ref)
+        dbias_ref[...] = jnp.zeros_like(dbias_ref)
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+
+    cdt = x_ref.dtype
+    gates = gates_ref[:].astype(cdt)
+    g0 = gates[0:1, :]
+    wbig = wbig_ref[:]  # (8d, d) compute dtype
+
+    def t_dot(a, b):
+        # a^T @ b without materializing a^T: contract dim 0 of both
+        return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=F32)
+
+    for b in range(bars_per_block):
+        (ch, ch_row, sel, sel_t, seld, seld_t, recip, a_col) = _common(
+            aux_ref, b, n, n_steps, cdt)
+        x = x_ref[b]
+        m = (ch(MASK_CH) > 0).astype(cdt)
+        g = g_ref[b] * m
+
+        # upstream grads per relation block (track rows are contiguous, so
+        # each track's dh needs only its 32-row slice of g)
+        def dh(block):
+            return jax.lax.dot_general(
+                g, wbig[block * d:(block + 1) * d], (((1,), (1,)), ((), ())),
+                preferred_element_type=F32)
+
+        dh_track = jnp.concatenate([
+            jax.lax.dot_general(
+                g[t * n_steps:(t + 1) * n_steps],
+                wbig[t * d:(t + 1) * d],
+                (((1,), (1,)), ((), ())), preferred_element_type=F32)
+            for t in range(n_tracks)], axis=0)  # (n, d)
+        dh_self = dh(n_tracks)
+        dh_onset = dh(n_tracks + 1)
+        dh_next = dh(n_tracks + 2)
+        dx = dh(n_tracks + 3)  # root path, f32 accumulator
+
+        dbias_ref[...] += jnp.sum(g.astype(F32), axis=0,
+                                  keepdims=True).astype(dbias_ref.dtype)
+
+        # ---- TRACK path: p/n messages recomputed once, feeding both the
+        # h_track rebuild (weight grad) and dpre (data grad)
+        ok_p, ok_n = ch(OK_P), ch(OK_N)
+        cnt_i = ok_p + ok_n
+        r_tr = recip(cnt_i, cnt_i > 0)
+        dmsg = dh_track * r_tr * m
+        msg_sum = jnp.zeros((n, d), cdt)
+        for idx_c, dist_c, ok_c in ((PREV_SRC, DIST_P, OK_P),
+                                    (NEXT_SRC, DIST_N, OK_N)):
+            ok = ch(ok_c)
+            s_m = sel(ch(idx_c), ok)
+            sd = seld(ch(dist_c), ok)
+            xg = jax.lax.dot(s_m, x, preferred_element_type=F32).astype(cdt)
+            gr = jax.lax.dot(sd, gates, preferred_element_type=F32
+                             ).astype(cdt)
+            pre = xg * gr
+            msg_sum += jax.nn.relu(pre)
+            dpre = dmsg * (pre.astype(F32) > 0).astype(F32)
+            dx += t_dot(s_m, (dpre * gr).astype(cdt))
+            dg_ref[...] += t_dot(sd, (dpre * xg).astype(cdt)
+                                 ).astype(dg_ref.dtype)
+        h_tr = msg_sum * r_tr * m
+
+        # ---- ONSET + SELF path
+        y = jax.nn.relu(x * g0) * m
+        cnt_on_i = ch(CNT_ON)
+        r_on = recip(cnt_on_i, cnt_on_i > 0)
+        col_sum = jax.lax.dot(a_col, y, preferred_element_type=F32
+                              ).astype(cdt)
+        h_on = (col_sum - y) * r_on * m
+        dcol = (dh_onset * r_on.astype(F32) * m.astype(F32)).astype(cdt)
+        dy = (jax.lax.dot(a_col, dcol, preferred_element_type=F32)
+              - dcol.astype(F32))
+        single = ch(SINGLE).astype(cdt)
+        h_self = y * single
+        dy += dh_self * single.astype(F32)
+        pre0 = x * g0
+        dpre0 = dy * m.astype(F32) * (pre0.astype(F32) > 0).astype(F32)
+        dx += dpre0 * g0.astype(F32)
+        dg_ref[0:1, :] += jnp.sum(dpre0 * x.astype(F32), axis=0,
+                                  keepdims=True).astype(dg_ref.dtype)
+
+        # ---- NEXT path
+        ok_pn = ((ch(OK_PN) > 0) & (ch(MSRC) > 0)).astype(jnp.int32)
+        s_pn = sel(ch(PN_SRC), ok_pn)
+        sd_pn = seld(ch(DIST_PN), ok_pn)
+        xg_pn = jax.lax.dot(s_pn, x, preferred_element_type=F32).astype(cdt)
+        gr_pn = jax.lax.dot(sd_pn, gates, preferred_element_type=F32
+                            ).astype(cdt)
+        pre_pn = xg_pn * gr_pn
+        z = jax.nn.relu(pre_pn)
+        z_sum = jax.lax.dot(a_col, z, preferred_element_type=F32
+                            ).astype(cdt)
+        cnt_nx_i = ch(CNT_NX)
+        valid_nx = (ch(OK_PN) > 0) & (cnt_nx_i > 0)
+        r_nx = recip(cnt_nx_i, valid_nx)
+        h_nx = (z_sum - z) * r_nx * m
+        dnx = (dh_next * r_nx.astype(F32) * m.astype(F32)).astype(cdt)
+        dz = (jax.lax.dot(a_col, dnx, preferred_element_type=F32)
+              - dnx.astype(F32))
+        dpre_pn = dz * (pre_pn.astype(F32) > 0).astype(F32)
+        dx += t_dot(s_pn, (dpre_pn * gr_pn).astype(cdt))
+        dg_ref[...] += t_dot(sd_pn, (dpre_pn * xg_pn).astype(cdt)
+                             ).astype(dg_ref.dtype)
+
+        # ---- weight grads: h^T @ g with VMEM-resident accumulators;
+        # track blocks contract only their 32 contiguous live rows
+        for t in range(n_tracks):
+            rows = slice(t * n_steps, (t + 1) * n_steps)
+            dw_ref[t * d:(t + 1) * d, :] += t_dot(
+                h_tr[rows], g[rows]).astype(dw_ref.dtype)
+        dw_ref[n_tracks * d:(n_tracks + 1) * d, :] += t_dot(
+            h_self, g).astype(dw_ref.dtype)
+        dw_ref[(n_tracks + 1) * d:(n_tracks + 2) * d, :] += t_dot(
+            h_on, g).astype(dw_ref.dtype)
+        dw_ref[(n_tracks + 2) * d:(n_tracks + 3) * d, :] += t_dot(
+            h_nx, g).astype(dw_ref.dtype)
+        dw_ref[(n_tracks + 3) * d:(n_tracks + 4) * d, :] += t_dot(
+            x, g).astype(dw_ref.dtype)
+
+        dx_ref[b] = dx.astype(dx_ref.dtype)
+
+
+def gcl_backward_fused(x, aux, gate_table, wbig, g, *,
+                       bars_per_block: int = 2,
+                       interpret: bool | None = None):
+    """Single-kernel backward. Returns (dx, dgate_table, dwbig, dbias);
+    dx comes back in x.dtype (it is cast there by the custom_vjp anyway),
+    the accumulators in f32. VMEM-viable for 2-byte compute dtypes only."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    lead = x.shape[:-3]
+    t, s, d = x.shape[-3], x.shape[-2], x.shape[-1]
+    n = t * s
+    nbar = int(np.prod(lead)) if lead else 1
+    xf = x.reshape(nbar, n, d)
+    gf = g.reshape(nbar, n, d)
+    auxf = aux.reshape(nbar, N_AUX, n)
+    bb = max(1, min(bars_per_block, nbar))
+    pad = (-nbar) % bb
+    if pad:
+        xf = jnp.concatenate([xf, jnp.zeros((pad, n, d), xf.dtype)], 0)
+        gf = jnp.concatenate([gf, jnp.zeros((pad, n, d), gf.dtype)], 0)
+        auxf = jnp.concatenate(
+            [auxf, jnp.zeros((pad, N_AUX, n), auxf.dtype)], 0)
+    nblocks = (nbar + pad) // bb
+
+    kern = functools.partial(_bwd_fused_kernel, bars_per_block=bb,
+                             n_tracks=t, n_steps=s, d=d)
+    dx, dg, dbias, dwbig = pl.pallas_call(
+        kern,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((bb, N_AUX, n), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, n, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, n, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((s, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8 * d, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((bb, n, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((s, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8 * d, d), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nblocks * bb, n, d), x.dtype),
+            jax.ShapeDtypeStruct((s, d), jnp.float32),
+            jax.ShapeDtypeStruct((1, d), jnp.float32),
+            jax.ShapeDtypeStruct((8 * d, d), jnp.float32),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * (nbar + pad) * n * (8 * d) * d,
+            bytes_accessed=3 * (nbar + pad) * n * d * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(auxf, xf, gf, gate_table, wbig)
+
+    dx = dx[:nbar].reshape(lead + (t, s, d))
+    return dx, dg, dwbig, dbias[0]
 
 
 def gcl_backward_pallas(x, aux, gate_table, wbig, g, *,
@@ -331,7 +528,9 @@ def gcl_backward_pallas(x, aux, gate_table, wbig, g, *,
             pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((nblocks * bb, n, d), jnp.float32),
+            # dx in the compute dtype (the custom_vjp casts to x.dtype
+            # anyway): halves the out-stream VMEM + HBM under bf16
+            jax.ShapeDtypeStruct((nblocks * bb, n, d), x.dtype),
             jax.ShapeDtypeStruct((s, d), jnp.float32),
             jax.ShapeDtypeStruct((1, d), jnp.float32),
         ],

@@ -20,9 +20,15 @@ from .. import constants
 
 
 def _masked_ce(logits, labels, weights):
-    """Mean cross-entropy over elements with weights>0 (ignore_index style)."""
+    """Mean cross-entropy over elements with weights>0 (ignore_index style).
+
+    The label pick is a one-hot multiply-reduce, not take_along_axis:
+    TPU gathers (and their scatter-add backward) serialize, while the
+    masked reduce is pure VPU work (round-3 profile: ~30 ms/step saved
+    on the slot-scanned path)."""
     logp = jax.nn.log_softmax(logits, axis=-1)
-    ll = jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    oh = jax.nn.one_hot(labels, logits.shape[-1], dtype=logp.dtype)
+    ll = jnp.sum(logp * oh, axis=-1)
     w = weights.astype(logits.dtype)
     denom = jnp.maximum(jnp.sum(w), 1.0)
     return -jnp.sum(ll * w) / denom

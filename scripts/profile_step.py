@@ -22,7 +22,11 @@ from polyphemus_tpu.train.trainer import (create_train_state, make_optimizer,
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/poly_trace"
 
 cfg = TrainConfig(batch_size=256, iters_to_accumulate=4,
-                  model=ModelConfig(d=512, gnn_n_layers=8, n_bars=2,
+                  bf16=os.environ.get("BF16", "1") == "1",
+                  model=ModelConfig(d=512,
+                                    gnn_n_layers=int(
+                                        os.environ.get("LAYERS", "8")),
+                                    n_bars=2,
                                     resolution=8, dropout=0.0,
                                     batch_norm=True, use_pallas_gcl=True))
 model = VAE(cfg.model)
