@@ -27,10 +27,15 @@ class ModelConfig:
     # every edge message in training mode regardless of config
     # (/root/reference/model.py:44,133 — GCN never forwards its dropout to
     # GCL). Default 0 here (flagship configs train without it and the fused
-    # Pallas training kernel requires 0); set 0.1 to approximate reference
-    # training dynamics — applied to per-relation aggregates, a documented
-    # proxy (STATUS.md quirk table), and forces the XLA GCL during training.
+    # Pallas training kernel requires 0); set 0.1 to reproduce reference
+    # training dynamics. Forces the XLA GCL during training.
     message_dropout: float = 0.0
+    # "edge" (default): exact reference semantics — every ordered edge
+    # message gets its own iid mask (ONSET/NEXT expand to per-(src,dst)
+    # message tensors; ~4x message memory on those relations, training
+    # only). "aggregate": the cheaper round-2 proxy — iid dropout on the
+    # per-destination per-relation aggregates (unbiased, lower variance).
+    message_dropout_mode: str = "edge"
     batch_norm: bool = True
     # Use the fused Pallas GCL kernels (forward + hand-written backward).
     use_pallas_gcl: bool = False

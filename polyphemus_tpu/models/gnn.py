@@ -51,11 +51,13 @@ class GCN(nn.Module):
     num_dists: int = 32
     batch_norm: bool = False
     dropout: float = 0.1
-    # Dense proxy for the reference's hard-coded p=0.1 per-edge message
-    # dropout (model.py:44,133): iid dropout on the per-relation aggregates.
-    # When > 0, training uses the XLA GCL (the fused Pallas kernel has no
-    # dropout injection point). See ModelConfig.message_dropout.
+    # The reference's hard-coded p=0.1 per-edge message dropout
+    # (model.py:44,133). When > 0, training uses the XLA GCL (the fused
+    # Pallas kernel has no dropout injection point). Mode "edge" = exact
+    # per-edge masks, "aggregate" = round-2 proxy on the aggregates. See
+    # ModelConfig.message_dropout / message_dropout_mode.
     message_dropout: float = 0.0
+    message_dropout_mode: str = "edge"
     use_pallas: bool = False
     # VMEM tile size of the fused kernel (bars per invocation).
     bars_per_block: int = 4
@@ -105,9 +107,10 @@ class GCN(nn.Module):
                                          bias, aux, mask)
             else:
                 rng = self.make_rng("dropout") if msg_drop > 0.0 else None
-                x = lattice.gcl_apply(x, mask, nbr, gate_table, rel_weight,
-                                      root, bias, message_dropout=msg_drop,
-                                      dropout_rng=rng)
+                x = lattice.gcl_apply(
+                    x, mask, nbr, gate_table, rel_weight, root, bias,
+                    message_dropout=msg_drop, dropout_rng=rng,
+                    message_dropout_mode=self.message_dropout_mode)
             if self.batch_norm:
                 x = MaskedBatchNorm(self.dim, name=f"norm_layers_{i}")(
                     x, mask, use_running_average=deterministic)

@@ -130,6 +130,9 @@ def relational_messages(
     mask: jax.Array,
     nbr: LatticeNeighbors,
     gate_table: jax.Array,
+    *,
+    edge_dropout_p: float = 0.0,
+    edge_dropout_rng=None,
 ):
     """Aggregate per-relation mean messages over the lattice.
 
@@ -148,19 +151,32 @@ def relational_messages(
       h_self:  (..., T, S, d) single-node fake self-edge messages, to be
         routed through relation 0's weight.
 
-    Note on dropout: the reference applies dropout per *edge message*, at a
-    hard-coded p=0.1 in training mode (model.py:44,133 — GCN never forwards
-    its configured dropout to GCL). The dense formulation aggregates before
-    any caller sees individual messages, so `gcl_apply(message_dropout=...)`
-    applies iid dropout to the per-destination per-relation aggregates
-    instead — an unbiased but lower-variance proxy (drops are shared across
-    the sources feeding one aggregate). Deviation recorded in STATUS.md's
-    quirk table.
+    Per-edge dropout (edge_dropout_p > 0 with a rng): reproduces the
+    reference's hard-coded p=0.1 dropout on every edge message EXACTLY
+    (model.py:44,133 — F.dropout on each message before aggregation; GCN
+    never forwards its configured dropout to GCL). TRACK/self messages are
+    individually materialized, so iid elementwise masks on them are per-edge
+    by construction; ONSET/NEXT aggregates expand to explicit
+    (dst_track, src_track, step) message tensors (T=4, so 4x the message
+    memory) so every ordered edge gets its own draw. Verified edge-for-edge
+    against a sparse per-edge oracle (tests/oracle.py). The mask draw order
+    (split into p/n/onset/next/self) is a stable contract the test oracle
+    replays.
     """
     s = mask.shape[-1]
+    t = mask.shape[-2]
     dt = x.dtype
     iota = jnp.arange(s, dtype=jnp.int32)
     m_f = mask.astype(dt)[..., None]  # (..., T, S, 1)
+
+    ed = edge_dropout_p > 0.0 and edge_dropout_rng is not None
+    if ed:
+        keep = 1.0 - edge_dropout_p
+        k_p, k_n, k_on, k_nx, k_self = jax.random.split(edge_dropout_rng, 5)
+
+        def drop(msg, key):
+            km = jax.random.bernoulli(key, keep, msg.shape)
+            return jnp.where(km, msg / keep, 0.0).astype(dt)
 
     # --- TRACK relations: prev/next active cell in the same row -----------
     xp = _gather_time(x, nbr.prev_in_row)
@@ -173,16 +189,34 @@ def relational_messages(
     ok_n = nbr.next_in_row_ok[..., None].astype(dt)
     msg_n = jax.nn.relu(xn * gn) * ok_n
 
+    if ed:
+        # each destination has at most one prev and one next edge: a mask
+        # per (dst cell, feature, direction) IS a mask per edge
+        msg_p = drop(msg_p, k_p)
+        msg_n = drop(msg_n, k_n)
+
     cnt = ok_p + ok_n
     h_track = jnp.where(cnt > 0, (msg_p + msg_n) / jnp.maximum(cnt, 1), 0.0)
     h_track = h_track * m_f
 
     # --- ONSET relation: other active tracks in the same column -----------
     y0 = jax.nn.relu(x * gate_table[0]) * m_f  # (..., T, S, d)
-    col_sum = jnp.sum(y0, axis=-3, keepdims=True)  # (..., 1, S, d)
     cnt_on = (nbr.col_count[..., None, :] - mask.astype(jnp.int32))[..., None]
     # incoming count for an active cell = active tracks in column - itself
-    h_onset = (col_sum - y0) / jnp.maximum(cnt_on, 1).astype(dt)
+    if not ed:
+        col_sum = jnp.sum(y0, axis=-3, keepdims=True)  # (..., 1, S, d)
+        h_onset = (col_sum - y0) / jnp.maximum(cnt_on, 1).astype(dt)
+    else:
+        # explicit per-(dst_track, src_track) messages so each ordered edge
+        # draws its own mask; axis -4 = dst track, -3 = src track
+        not_eye = ~jnp.eye(t, dtype=bool)[:, :, None]  # (T, T, 1)
+        valid_on = (mask[..., :, None, :] & mask[..., None, :, :] & not_eye)
+        msgs_on = (jnp.broadcast_to(y0[..., None, :, :, :],
+                                    y0.shape[:-3] + (t, t, s) + y0.shape[-1:])
+                   * valid_on[..., None].astype(dt))
+        msgs_on = drop(msgs_on, k_on)
+        h_onset = (jnp.sum(msgs_on, axis=-3)
+                   / jnp.maximum(cnt_on, 1).astype(dt))
     h_onset = jnp.where((cnt_on > 0) & (m_f > 0), h_onset, 0.0)
 
     # --- NEXT relation: all cross-track cells of the previous active column
@@ -192,15 +226,29 @@ def relational_messages(
     msrc = jnp.take_along_axis(mask, pcol_b, axis=-1)  # (..., T, S)
     gnx = gate_table[jnp.clip(iota - nbr.prev_col, 0, s - 1)]  # (..., S, d)
     z = jax.nn.relu(xsrc * gnx[..., None, :, :]) * msrc[..., None].astype(dt)
-    zsum = jnp.sum(z, axis=-3, keepdims=True)  # (..., 1, S, d)
     cnt_src = jnp.sum(msrc.astype(jnp.int32), axis=-2)[..., None, :]
     cnt_nx = (cnt_src - msrc.astype(jnp.int32))[..., None]
     ok_nx = nbr.prev_col_ok[..., None, :, None] & (cnt_nx > 0) & (m_f > 0)
-    h_next = jnp.where(ok_nx, (zsum - z) / jnp.maximum(cnt_nx, 1).astype(dt), 0.0)
+    if not ed:
+        zsum = jnp.sum(z, axis=-3, keepdims=True)  # (..., 1, S, d)
+        h_next_raw = (zsum - z) / jnp.maximum(cnt_nx, 1).astype(dt)
+    else:
+        not_eye = ~jnp.eye(t, dtype=bool)[:, :, None]
+        valid_nx = (msrc[..., None, :, :] & mask[..., :, None, :] & not_eye
+                    & nbr.prev_col_ok[..., None, None, :])
+        msgs_nx = (jnp.broadcast_to(z[..., None, :, :, :],
+                                    z.shape[:-3] + (t, t, s) + z.shape[-1:])
+                   * valid_nx[..., None].astype(dt))
+        msgs_nx = drop(msgs_nx, k_nx)
+        h_next_raw = (jnp.sum(msgs_nx, axis=-3)
+                      / jnp.maximum(cnt_nx, 1).astype(dt))
+    h_next = jnp.where(ok_nx, h_next_raw, 0.0)
 
     # --- Single-node self-loop quirk (relation 0, distance 0) -------------
     single = nbr.single_node[..., None, None, None].astype(dt)
     h_self = jax.nn.relu(x * gate_table[0]) * m_f * single
+    if ed:
+        h_self = drop(h_self, k_self)
 
     return h_track, h_onset, h_next, h_self
 
@@ -216,19 +264,30 @@ def gcl_apply(
     *,
     message_dropout: float = 0.0,
     dropout_rng=None,
+    message_dropout_mode: str = "edge",
 ):
     """One dense relational graph-convolution layer (reference GCL forward,
     model.py:101-121): out = sum_r mean_msgs_r @ W_r + x @ root + bias.
 
     rel_weight: (n_relations=6, d, d); root: (d, d); bias: (d,).
-    message_dropout/dropout_rng: iid dropout on the per-relation aggregates
-    (the dense proxy for the reference's per-edge message dropout — see
-    `relational_messages`). Returns masked output (..., T, S, d).
+    message_dropout/dropout_rng: dropout on edge messages. Mode "edge"
+    (default) reproduces the reference's per-edge message dropout EXACTLY
+    (model.py:44,133) — see `relational_messages`. Mode "aggregate" is the
+    cheaper round-2 proxy: iid dropout on the per-destination per-relation
+    aggregates (unbiased, lower variance — drops are shared across the
+    sources feeding one aggregate). Returns masked output (..., T, S, d).
     """
+    active = message_dropout > 0.0 and dropout_rng is not None
+    if message_dropout_mode not in ("edge", "aggregate"):
+        raise ValueError(f"unknown message_dropout_mode "
+                         f"{message_dropout_mode!r}")
+    exact = active and message_dropout_mode == "edge"
     h_track, h_onset, h_next, h_self = relational_messages(
-        x, mask, nbr, gate_table
+        x, mask, nbr, gate_table,
+        edge_dropout_p=message_dropout if exact else 0.0,
+        edge_dropout_rng=dropout_rng if exact else None,
     )
-    if message_dropout > 0.0 and dropout_rng is not None:
+    if active and not exact:
         keep = 1.0 - message_dropout
         stacked = jnp.stack([h_track, h_onset, h_next, h_self])
         keep_mask = jax.random.bernoulli(dropout_rng, keep, stacked.shape)

@@ -102,3 +102,50 @@ def nodes_to_lattice(bar: np.ndarray, x_nodes: np.ndarray, d: int):
 def lattice_to_nodes(bar: np.ndarray, x_full: np.ndarray):
     t_idx, s_idx = np.nonzero(bar)
     return x_full[t_idx, s_idx]
+
+
+def gcl_forward_edge_dropout(bar: np.ndarray, x_nodes: np.ndarray,
+                             gate_table: np.ndarray, rel_w: np.ndarray,
+                             root: np.ndarray, bias: np.ndarray,
+                             keep_masks: dict, p: float):
+    """Sparse per-edge-dropout GCL forward on one bar (training mode).
+
+    Literal reference semantics (/root/reference/model.py:44,133): every
+    edge message relu(x_src * gate(dist)) passes through F.dropout(p)
+    independently before mean aggregation. `keep_masks` replays the dense
+    implementation's draws so equality is exact:
+      'p', 'n', 'self': (T, S, d) bool — per-destination-cell masks for the
+          prev-/next-in-row track edges and the single-node self edge;
+      'on', 'nx': (T_dst, T_src, S, d) bool — per-ordered-pair masks for
+          ONSET and NEXT edges, indexed at the destination column.
+    """
+    edges, cells = bar_edges(bar)
+    n, d = x_nodes.shape
+    keep = 1.0 - p
+    out = x_nodes @ root + bias
+    n_rel = rel_w.shape[0]
+    single_node = len(cells) == 1
+    for r in range(n_rel):
+        acc = np.zeros((n, d), dtype=np.float64)
+        cnt = np.zeros((n,), dtype=np.int64)
+        for (u, v, rel, dist) in edges:
+            if rel != r:
+                continue
+            msg = np.maximum(x_nodes[u] * gate_table[dist], 0.0)
+            td, sd = cells[v]
+            ts, sc = cells[u]
+            if u == v and single_node:
+                km = keep_masks["self"][td, sd]
+            elif rel < N_TRACKS:
+                km = (keep_masks["p"][td, sd] if sc < sd
+                      else keep_masks["n"][td, sd])
+            elif rel == N_TRACKS:
+                km = keep_masks["on"][td, ts, sd]
+            else:
+                km = keep_masks["nx"][td, ts, sd]
+            msg = np.where(km, msg / keep, 0.0)
+            acc[v] += msg
+            cnt[v] += 1
+        h = np.where(cnt[:, None] > 0, acc / np.maximum(cnt[:, None], 1), 0.0)
+        out = out + h @ rel_w[r]
+    return out
