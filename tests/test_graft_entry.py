@@ -28,4 +28,8 @@ def test_dryrun_multichip_self_provisions_virtual_mesh():
          "import __graft_entry__ as g; g.dryrun_multichip(2)"],
         cwd=REPO, env=env, capture_output=True, text=True, timeout=540)
     assert r.returncode == 0, r.stderr[-2000:]
-    assert "dryrun_multichip ok: 2 devices" in r.stdout, r.stdout
+    assert "dryrun_multichip small ok: 2 devices" in r.stdout, r.stdout
+    # round 3: the dryrun also proves numerical equivalence with the
+    # single-device step (small + flagship shapes) and reports max diffs
+    assert "dryrun_multichip flagship ok: d=512 L=8" in r.stdout, r.stdout
+    assert "loss_maxdiff=" in r.stdout
