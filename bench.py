@@ -69,11 +69,16 @@ def main() -> None:
           for i in range(ROUNDS)]
     jax.block_until_ready(gen(zs[0]))  # compile
 
-    t0 = time.perf_counter()
-    for z in zs:
-        out = gen(z)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    # median of 3 passes (a single pass on the tunnel is noisy; median,
+    # not best-of — VERDICT r2 weak item 6)
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for z in zs:
+            out = gen(z)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
 
     seq_per_sec = ROUNDS * BATCH / dt
     from polyphemus_tpu import flops as F

@@ -61,13 +61,23 @@ def build(n_bars):
     return cfg, model, variables
 
 
-def timed(fn, *args, rounds=5):
-    jax.block_until_ready(fn(*args))
-    t0 = time.perf_counter()
-    for _ in range(rounds):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / rounds, out
+def timed(fn, *args, rounds=5, reps=3, key=None):
+    """Median of `reps` timing passes of `rounds` calls each (VERDICT r2:
+    best-of-N flatters on a noisy tunnel; report median +/- spread).
+    Records the relative spread (max-min)/median under report['spread']."""
+    jax.block_until_ready(fn(*args))  # compile + warm
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(rounds):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        times.append((time.perf_counter() - t0) / rounds)
+    med = float(np.median(times))
+    if key is not None:
+        report.setdefault("spread", {})[key] = round(
+            (max(times) - min(times)) / med, 3)
+    return med, out
 
 
 cfg2, model2, vars2 = build(2)
@@ -75,7 +85,7 @@ cfg2, model2, vars2 = build(2)
 # 1. single-sequence latency
 gen1 = make_generator(model2, vars2, pallas=PALLAS)
 z1 = jax.random.normal(jax.random.key(1), (1, cfg2.d))
-dt, _ = timed(gen1, z1, rounds=20)
+dt, _ = timed(gen1, z1, rounds=20, key="lmd2_uncond_n1_latency_ms")
 report["lmd2_uncond_n1_latency_ms"] = round(dt * 1e3, 3)
 checkpoint("latency")
 
@@ -83,7 +93,7 @@ checkpoint("latency")
 from polyphemus_tpu import flops as F
 
 z256 = jax.random.normal(jax.random.key(2), (256, cfg2.d))
-dt, out = timed(gen1, z256)
+dt, out = timed(gen1, z256, key="lmd2_batched_n256_seq_s")
 report["lmd2_batched_n256_seq_s"] = round(256 / dt, 1)
 report["lmd2_gen_gflops_per_seq"] = round(
     F.generation_flops_per_seq(cfg2) / 1e9, 2)
@@ -110,7 +120,7 @@ if render_midi_bytes(tok_np[0], mask_np[0], cfg2.resolution) is not None:
 s = load_structure_file("/root/reference/structure.json", 2, 4, 32)
 s_batch = jnp.asarray(np.broadcast_to(s, (256,) + s.shape))
 genc = make_generator(model2, vars2, conditioned=True, pallas=PALLAS)
-dt, _ = timed(genc, z256, s_batch)
+dt, _ = timed(genc, z256, s_batch, key="lmd2_conditioned_n256_seq_s")
 report["lmd2_conditioned_n256_seq_s"] = round(256 / dt, 1)
 checkpoint("conditioned")
 
@@ -118,7 +128,7 @@ checkpoint("conditioned")
 cfg16, model16, vars16 = build(16)
 gen16 = make_generator(model16, vars16, pallas=PALLAS)
 z16 = jax.random.normal(jax.random.key(3), (64, cfg16.d))
-dt, out16 = timed(gen16, z16)
+dt, out16 = timed(gen16, z16, key="lmd16_n64_seq_s")
 report["lmd16_n64_seq_s"] = round(64 / dt, 1)
 report["lmd16_gen_mfu_pct"] = round(
     F.mfu(64 / dt, F.generation_flops_per_seq(cfg16)), 1)
@@ -129,6 +139,24 @@ looped = loop_song(song, 4, 16, cfg16.resolution)
 report["lmd16_loop4_render_ms"] = round((time.perf_counter() - t0) * 1e3, 2)
 checkpoint("lmd16")
 
+# 6. serving latency tiers: per-request wall time at each compiled tier
+# batch size (serve.py routes n to the smallest tier >= n); p50/p95 over
+# 20 calls each (VERDICT r2 item 8)
+for tier in (1, 8, 64):
+    z_t = jax.random.normal(jax.random.key(40 + tier), (tier, cfg2.d))
+    jax.block_until_ready(gen1(z_t))
+    lat = []
+    for _ in range(20):
+        t0 = time.perf_counter()
+        jax.block_until_ready(gen1(z_t))
+        lat.append((time.perf_counter() - t0) * 1e3)
+    report[f"serve_tier{tier}_p50_ms"] = round(float(np.percentile(lat, 50)),
+                                               3)
+    report[f"serve_tier{tier}_p95_ms"] = round(float(np.percentile(lat, 95)),
+                                               3)
+checkpoint("serve_tiers")
+
+
 # 5. training step (fused Pallas kernels; accumulate to fit HBM)
 import dataclasses
 
@@ -137,14 +165,28 @@ model_tr = VAE(mcfg_tr)
 tcfg = TrainConfig(batch_size=256, iters_to_accumulate=4, model=mcfg_tr)
 toks, mask = synthetic_batch(np.random.default_rng(0), 256, 2)
 toks, mask = jnp.asarray(toks), jnp.asarray(mask)
-state = create_train_state(model_tr, tcfg, jax.random.key(0), toks, mask)
-step = jax.jit(make_train_step(model_tr, tcfg, make_optimizer(tcfg)))
-float(step(state, toks, mask, jax.random.key(1))[1]["tot"])  # sync warmup
-t0 = time.perf_counter()
-for i in range(5):
-    state, losses, _ = step(state, toks, mask, jax.random.key(i))
-float(losses["tot"])  # scalar readback forces a real sync on the tunnel
-dt = (time.perf_counter() - t0) / 5
+
+
+def timed_train(cfg, key):
+    """Median over 3 passes of 5 steps (scalar readback = the only
+    reliable sync on the tunnel)."""
+    state = create_train_state(model_tr, cfg, jax.random.key(0), toks, mask)
+    step = jax.jit(make_train_step(model_tr, cfg, make_optimizer(cfg)))
+    float(step(state, toks, mask, jax.random.key(1))[1]["tot"])  # warmup
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for i in range(5):
+            state, losses, _ = step(state, toks, mask, jax.random.key(i))
+        float(losses["tot"])
+        times.append((time.perf_counter() - t0) / 5)
+    med = float(np.median(times))
+    report.setdefault("spread", {})[key] = round(
+        (max(times) - min(times)) / med, 3)
+    return med
+
+
+dt = timed_train(tcfg, "train_step_s")
 report["train_step_s"] = round(dt, 4)
 report["train_seq_s"] = round(256 / dt, 1)
 report["train_gflops_per_seq"] = round(
@@ -154,16 +196,7 @@ report["train_mfu_pct"] = round(
 checkpoint("train_fp32")
 
 # 5b. bf16 training step (VERDICT r1 item 7)
-tcfg_bf = dataclasses.replace(tcfg, bf16=True)
-step_bf = jax.jit(make_train_step(model_tr, tcfg_bf, make_optimizer(tcfg_bf)))
-state_bf = create_train_state(model_tr, tcfg_bf, jax.random.key(0), toks,
-                              mask)
-float(step_bf(state_bf, toks, mask, jax.random.key(1))[1]["tot"])
-t0 = time.perf_counter()
-for i in range(5):
-    state_bf, losses_bf, _ = step_bf(state_bf, toks, mask, jax.random.key(i))
-float(losses_bf["tot"])
-dt_bf = (time.perf_counter() - t0) / 5
+dt_bf = timed_train(dataclasses.replace(tcfg, bf16=True), "train_step_s_bf16")
 report["train_step_s_bf16"] = round(dt_bf, 4)
 report["train_seq_s_bf16"] = round(256 / dt_bf, 1)
 report["train_mfu_pct_bf16"] = round(

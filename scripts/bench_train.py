@@ -49,13 +49,18 @@ def run(tag, cfg):
     state = state0
     s, l, _ = step(state, toks, mask, jax.random.key(1))
     float(l["tot"])  # sync (scalar readback; block_until_ready unreliable)
-    t0 = time.perf_counter()
-    N = 8
-    for i in range(N):
-        state, losses, _ = step(state, toks, mask, jax.random.key(i))
-    float(losses["tot"])
-    dt = (time.perf_counter() - t0) / N
+    times = []
+    for _ in range(3):  # median of 3 passes (not best-of — VERDICT r2)
+        t0 = time.perf_counter()
+        N = 5
+        for i in range(N):
+            state, losses, _ = step(state, toks, mask, jax.random.key(i))
+        float(losses["tot"])
+        times.append((time.perf_counter() - t0) / N)
+    dt = float(np.median(times))
     suffix = "" if tag == "fp32" else "_bf16"
+    report.setdefault("spread", {})[f"train_step_s{suffix}"] = round(
+        (max(times) - min(times)) / dt, 3)
     report[f"train_step_s{suffix}"] = round(dt, 4)
     report[f"train_seq_s{suffix}"] = round(256 / dt, 1)
     report[f"train_mfu_pct{suffix}"] = round(F.mfu(256 / dt, flops_step), 1)

@@ -1,21 +1,35 @@
 """Note-level output parity harness vs the PyTorch reference.
 
-Usage (two phases, so each side can run in its own environment):
+ONE-COMMAND closure (requires network for the checkpoint download and the
+reference's pip dependencies; runs the reference side in a venv it
+provisions itself):
+
+  python scripts/parity_check.py full --model lmd2
+
+which: downloads the published checkpoint (huggingface_hub, reference
+download_models.py:7-26), generates N sequences with OUR engine from a
+fixed z (auto-converting the torch checkpoint), provisions a venv with
+torch + torch_geometric + muspy, replays the SAME z through the
+reference's own generate.py/utils.py (scripts/_ref_generate_driver.py),
+and diffs the note multisets.
+
+Manual two-phase mode (each side in its own environment):
 
   # 1. in any environment with this repo: generate with a fixed z
   python scripts/parity_check.py ours TORCH_MODEL_DIR OUT_DIR --n 8 --seed 0
 
   # 2. in an environment with the reference + torch_geometric:
-  #    python /path/to/reference/generate.py ... with the SAME z
-  #    (OUT_DIR/z.npy; patch generate_z or load it), writing MIDI to REF_DIR
+  python scripts/_ref_generate_driver.py REF_DIR TORCH_MODEL_DIR \
+      OUT_DIR/z.npy REF_OUT_DIR
   # 3. compare:
-  python scripts/parity_check.py compare OUT_DIR REF_DIR
+  python scripts/parity_check.py compare OUT_DIR REF_OUT_DIR
 
 Compares the (track, time, pitch, duration) note multisets per sequence —
 the BASELINE.md parity criterion.
 """
 import argparse
 import os
+import subprocess
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -67,10 +81,14 @@ def note_set(midi_path):
 
 
 def cmd_compare(args):
+    sys.exit(0 if _compare_dirs(args.ours_dir, args.ref_dir) else 1)
+
+
+def _compare_dirs(ours_dir, ref_dir):
     total, same = 0, 0
-    for name in sorted(os.listdir(args.ours_dir)):
-        a = os.path.join(args.ours_dir, name, "generated.mid")
-        b = os.path.join(args.ref_dir, name, "generated.mid")
+    for name in sorted(os.listdir(ours_dir)):
+        a = os.path.join(ours_dir, name, "generated.mid")
+        b = os.path.join(ref_dir, name, "generated.mid")
         if not (os.path.exists(a) and os.path.exists(b)):
             continue
         total += 1
@@ -82,7 +100,59 @@ def cmd_compare(args):
             missing = set(nb) - set(na)
             print(f"seq {name}: MISMATCH (+{len(extra)} / -{len(missing)})")
     print(f"note-level parity: {same}/{total} sequences identical")
-    sys.exit(0 if same == total and total > 0 else 1)
+    return total > 0 and same == total
+
+
+REF_DEPS = ["torch", "torch_geometric", "torch_scatter", "torch_sparse",
+            "muspy", "pyyaml", "numpy", "prettytable"]
+
+
+def cmd_full(args):
+    """Download -> ours -> venv -> reference -> compare. Network required
+    for the download and the venv's pip installs; everything is cached, so
+    re-runs are cheap."""
+    work = os.path.abspath(args.work_dir)
+    os.makedirs(work, exist_ok=True)
+
+    # 1. published torch checkpoint (reference download_models.py:7-26;
+    # the HF repo stores them as models/LMD2 and models/LMD16)
+    models_dir = os.path.join(work, "models")
+    torch_model_dir = os.path.join(models_dir, args.model.upper())
+    if not os.path.exists(os.path.join(torch_model_dir, "checkpoint")):
+        print(f"[full] downloading {args.model} checkpoint ...")
+        from huggingface_hub import snapshot_download
+
+        snapshot_download(repo_id="EmanueleCosenza/polyphemus",
+                          local_dir=models_dir)
+    if not os.path.exists(os.path.join(torch_model_dir, "checkpoint")):
+        sys.exit(f"no checkpoint at {torch_model_dir} after download")
+
+    # 2. our side: fixed z -> MIDI (auto-converts the torch checkpoint)
+    ours_dir = os.path.join(work, "ours")
+    args_ours = argparse.Namespace(model_dir=torch_model_dir,
+                                   out_dir=ours_dir, n=args.n,
+                                   seed=args.seed)
+    cmd_ours(args_ours)
+
+    # 3. reference side in its own venv
+    venv = os.path.join(work, "ref_venv")
+    vpy = os.path.join(venv, "bin", "python")
+    if not os.path.exists(vpy):
+        print(f"[full] creating venv {venv} ...")
+        import venv as venv_mod
+
+        venv_mod.EnvBuilder(with_pip=True).create(venv)
+        subprocess.run([vpy, "-m", "pip", "install", "-q"] + REF_DEPS,
+                       check=True)
+    ref_out = os.path.join(work, "reference")
+    driver = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "_ref_generate_driver.py")
+    subprocess.run([vpy, driver, args.reference_dir, torch_model_dir,
+                    os.path.join(ours_dir, "z.npy"), ref_out], check=True)
+
+    # 4. compare note multisets
+    ok = _compare_dirs(ours_dir, ref_out)
+    sys.exit(0 if ok else 1)
 
 
 def main():
@@ -98,6 +168,14 @@ def main():
     pc.add_argument("ours_dir")
     pc.add_argument("ref_dir")
     pc.set_defaults(fn=cmd_compare)
+    pf = sub.add_parser("full", help="download + ours + reference + compare "
+                                     "in one command (needs network)")
+    pf.add_argument("--model", choices=["lmd2", "lmd16"], default="lmd2")
+    pf.add_argument("--n", type=int, default=8)
+    pf.add_argument("--seed", type=int, default=0)
+    pf.add_argument("--work_dir", default="parity_work")
+    pf.add_argument("--reference_dir", default="/root/reference")
+    pf.set_defaults(fn=cmd_full)
     args = p.parse_args()
     args.fn(args)
 
