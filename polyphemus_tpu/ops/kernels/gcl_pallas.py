@@ -179,7 +179,11 @@ def _kernel(aux_ref, x_ref, gates_ref, wbig_ref, bias_ref, *rest,
 
         # project: shared relations in one (n, 4d) matmul; the 4 per-track
         # relations as row-block matmuls (their weights differ per row
-        # block — zero-padding them into one matmul would double the FLOPs)
+        # block — zero-padding them into one matmul would double the
+        # FLOPs). NOTE a bar-batched variant (one (bb*n, 4d) @ (4d, d)
+        # projection for the whole block) measured flat-to-slower
+        # (3.26 vs ~2.9-3.15 ms / 512 bars bf16): the h-tensor
+        # concatenations cost what the bigger dots save. Reverted.
         hcat = jnp.concatenate([h_self, h_onset, h_next, x], axis=1)
         wshared = wbig[n_tracks * d:]  # [W0(self); W_on; W_next; root]
         base = jax.lax.dot(hcat, wshared,
