@@ -156,14 +156,23 @@ class ContentEncoder(nn.Module):
                                use_running_average=deterministic)
             nd_dur = bn_dur(nd_dur, m_nd, use_running_average=deterministic)
 
-            emb = jnp.concatenate(
-                [
-                    jnp.concatenate([drums_pitch, drums_dur], axis=-1),
-                    jnp.concatenate([nd_pitch, nd_dur], axis=-1),
-                ],
-                axis=-4,
-            )  # (B, nb, T, S, 15, d)
-            x = emb.reshape(emb.shape[:-2] + (n_slots * d,)) @ ck + cb
+            # Split the chord projection into its pitch-row and dur-row
+            # blocks instead of concatenating [pitch;dur] per slot: the
+            # interleaved (..., 15, d) tensor (and its backward reshapes/
+            # layout copies, ~10 ms/step in the round-3 profile) never
+            # materializes — each BN output flattens (..., 15, h) ->
+            # (..., 15h) for one clean matmul, and the partial products
+            # sum. Same math as emb.reshape(..., 15*d) @ ck.
+            ck3 = ck.reshape(n_slots, d, d)
+            w_p = ck3[:, :h, :].reshape(n_slots * h, d)
+            w_d = ck3[:, h:, :].reshape(n_slots * h, d)
+
+            def flat(t):
+                return t.reshape(t.shape[:-2] + (n_slots * h,))
+
+            x_dr = flat(drums_pitch) @ w_p + flat(drums_dur) @ w_d
+            x_nd = flat(nd_pitch) @ w_p + flat(nd_dur) @ w_d
+            x = jnp.concatenate([x_dr, x_nd], axis=-3) + cb
 
         x = jax.nn.relu(x)
         x = nn.Dropout(cfg.dropout, deterministic=deterministic)(x)
@@ -343,10 +352,6 @@ class ContentDecoder(nn.Module):
             assert targets is not None
             assert cfg.dropout == 0.0, \
                 "train_stats path has no slot-hidden dropout; use logits"
-            w_slots = jnp.moveaxis(ck.reshape(d, n_slots, d), 1, 0)
-            b_slots = cb.reshape(n_slots, d)
-            p_true = jnp.moveaxis(targets[..., 0], -1, 0)  # (n_slots, ...)
-            d_true = jnp.moveaxis(targets[..., 1], -1, 0)
             act = mask
             is_drum = jnp.zeros(mask.shape, bool).at[..., 0, :].set(True)
             f32 = jnp.float32
@@ -388,8 +393,21 @@ class ContentDecoder(nn.Module):
             init = {k: jnp.zeros((), f32) for k in (
                 "pitch_nll", "dur_nll", "n_p", "n_d", "c_p", "c_d",
                 "c_both", "c_p_dr", "c_p_nd", "n_p_dr", "n_p_nd")}
-            stats, _ = jax.lax.scan(jax.checkpoint(body), init,
-                                    (w_slots, b_slots, p_true, d_true))
+            # Unrolled over the 15 slots (not lax.scan): each slot reads a
+            # STATIC contiguous slice of ck, so no stacked (15, d, d)
+            # weight tensor, no moveaxis copies, and — critically — the
+            # backward accumulates dck/unembed grads with plain adds in
+            # XLA-chosen layouts instead of the scan's dynamic-update-slice
+            # + transposed-layout accumulators (profiled at ~7 ms/step).
+            # jax.checkpoint per slot keeps the logits rematerialized in
+            # the backward exactly as the scanned version did.
+            body = jax.checkpoint(body)
+            stats = init
+            for s in range(n_slots):
+                stats, _ = body(stats, (ck[:, s * d:(s + 1) * d],
+                                        cb[s * d:(s + 1) * d],
+                                        targets[..., s, 0],
+                                        targets[..., s, 1]))
             return stats
 
         # emit == "tokens": only int32 ids reach HBM. Deterministic decode on
