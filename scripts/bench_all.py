@@ -6,8 +6,20 @@
   4. Batched generation n=256 (headline; = bench.py)
   5. Training step/s at the reference batch size
 
-Writes bench_report.json. Random-initialized weights (the published torch
-checkpoints need network access; weight conversion is covered by tests).
+Merges results into bench_report.json (existing keys from other stages /
+scripts/bench_train.py survive). Random-initialized weights (the published
+torch checkpoints need network access; weight conversion is covered by
+tests).
+
+Stage selection (the full sweep recompiles everything after a model-graph
+change and can blow the 10-min sandbox cap):
+
+    python scripts/bench_all.py [gen] [lmd16] [serve] [train]
+
+with no args = all stages. `gen` covers latency/batched/conditioned/lmd16
+(+ bf16 batched), `lmd16` just the 16-bar stage (slowest compile), `serve`
+the per-tier p50/p95, `train` the fp32+bf16 step (also standalone as
+scripts/bench_train.py).
 """
 import json
 import os
@@ -36,15 +48,27 @@ from polyphemus_tpu.train.trainer import (create_train_state, make_optimizer,
                                           make_train_step)
 
 PALLAS = jax.default_backend() == "tpu"
-report = {"backend": jax.default_backend(), "pallas": PALLAS}
+STAGES = set(sys.argv[1:]) or {"gen", "serve", "train"}
+report = {"backend": jax.default_backend(), "pallas": PALLAS,
+          "note": ("median-of-3 runs per metric with recorded relative "
+                   "spread (tunnel variance documented in PERFORMANCE.md); "
+                   "train_* keys also refreshable via scripts/bench_train.py")}
 
 
 def checkpoint(stage):
-    """Incremental progress: dump the partial report after every stage so
-    a timed-out run still shows where it got to (10-min sandbox cap)."""
+    """Incremental progress: merge + dump the report after every stage so
+    a timed-out run still keeps what it measured (10-min sandbox cap)."""
     print(f"[bench_all] {stage}: {report}", flush=True)
-    with open("bench_report.partial.json", "w") as f:
-        json.dump(report, f, indent=2)
+    merged = dict(report)
+    if os.path.exists("bench_report.json"):
+        with open("bench_report.json") as f:
+            old = json.load(f)
+        spread = {**old.get("spread", {}), **report.get("spread", {})}
+        merged = {**old, **report}
+        if spread:
+            merged["spread"] = spread
+    with open("bench_report.json", "w") as f:
+        json.dump(merged, f, indent=2)
 
 
 def build(n_bars):
@@ -80,81 +104,96 @@ def timed(fn, *args, rounds=5, reps=3, key=None):
     return med, out
 
 
-cfg2, model2, vars2 = build(2)
-
-# 1. single-sequence latency
-gen1 = make_generator(model2, vars2, pallas=PALLAS)
-z1 = jax.random.normal(jax.random.key(1), (1, cfg2.d))
-dt, _ = timed(gen1, z1, rounds=20, key="lmd2_uncond_n1_latency_ms")
-report["lmd2_uncond_n1_latency_ms"] = round(dt * 1e3, 3)
-checkpoint("latency")
-
-# 4. batched n=256 (headline)
 from polyphemus_tpu import flops as F
 
+cfg2, model2, vars2 = build(2)
+gen1 = make_generator(model2, vars2, pallas=PALLAS)
 z256 = jax.random.normal(jax.random.key(2), (256, cfg2.d))
-dt, out = timed(gen1, z256, key="lmd2_batched_n256_seq_s")
-report["lmd2_batched_n256_seq_s"] = round(256 / dt, 1)
-report["lmd2_gen_gflops_per_seq"] = round(
-    F.generation_flops_per_seq(cfg2) / 1e9, 2)
-report["lmd2_gen_mfu_pct"] = round(
-    F.mfu(256 / dt, F.generation_flops_per_seq(cfg2)), 1)
-checkpoint("batched")
 
-# host-side MIDI rendering throughput for the batch
-mask_np, tok_np = np.asarray(out[0]), np.asarray(out[1])
-t0 = time.perf_counter()
-songs = [song_from_tokens(tok_np[i], mask_np[i], cfg2.resolution)
-         for i in range(64)]
-report["midi_render_python_seq_s"] = round(
-    64 / (time.perf_counter() - t0), 1)
-from polyphemus_tpu.midi.fast_render import render_midi_bytes
-if render_midi_bytes(tok_np[0], mask_np[0], cfg2.resolution) is not None:
+if "gen" not in STAGES:
+    pass
+else:
+    # 1. single-sequence latency
+    z1 = jax.random.normal(jax.random.key(1), (1, cfg2.d))
+    dt, _ = timed(gen1, z1, rounds=20, key="lmd2_uncond_n1_latency_ms")
+    report["lmd2_uncond_n1_latency_ms"] = round(dt * 1e3, 3)
+    checkpoint("latency")
+
+    # 4. batched n=256 (headline)
+    dt, out = timed(gen1, z256, key="lmd2_batched_n256_seq_s")
+    report["lmd2_batched_n256_seq_s"] = round(256 / dt, 1)
+    report["lmd2_gen_gflops_per_seq"] = round(
+        F.generation_flops_per_seq(cfg2) / 1e9, 2)
+    report["lmd2_gen_mfu_pct"] = round(
+        F.mfu(256 / dt, F.generation_flops_per_seq(cfg2)), 1)
+    checkpoint("batched")
+
+    # 4b. batched n=256 under the bf16 compute policy
+    gen_bf = make_generator(model2, vars2, pallas=PALLAS, bf16=True)
+    dt, _ = timed(gen_bf, z256, key="lmd2_batched_n256_seq_s_bf16")
+    report["lmd2_batched_n256_seq_s_bf16"] = round(256 / dt, 1)
+    report["lmd2_gen_mfu_pct_bf16"] = round(
+        F.mfu(256 / dt, F.generation_flops_per_seq(cfg2)), 1)
+    checkpoint("batched_bf16")
+
+    # host-side MIDI rendering throughput for the batch
+    mask_np, tok_np = np.asarray(out[0]), np.asarray(out[1])
     t0 = time.perf_counter()
-    for i in range(256):
-        render_midi_bytes(tok_np[i], mask_np[i], cfg2.resolution)
-    report["midi_render_native_seq_s"] = round(
-        256 / (time.perf_counter() - t0), 1)
+    songs = [song_from_tokens(tok_np[i], mask_np[i], cfg2.resolution)
+             for i in range(64)]
+    report["midi_render_python_seq_s"] = round(
+        64 / (time.perf_counter() - t0), 1)
+    from polyphemus_tpu.midi.fast_render import render_midi_bytes
+    if render_midi_bytes(tok_np[0], mask_np[0], cfg2.resolution) is not None:
+        t0 = time.perf_counter()
+        for i in range(256):
+            render_midi_bytes(tok_np[i], mask_np[i], cfg2.resolution)
+        report["midi_render_native_seq_s"] = round(
+            256 / (time.perf_counter() - t0), 1)
 
-# 2. structure-conditioned
-s = load_structure_file("/root/reference/structure.json", 2, 4, 32)
-s_batch = jnp.asarray(np.broadcast_to(s, (256,) + s.shape))
-genc = make_generator(model2, vars2, conditioned=True, pallas=PALLAS)
-dt, _ = timed(genc, z256, s_batch, key="lmd2_conditioned_n256_seq_s")
-report["lmd2_conditioned_n256_seq_s"] = round(256 / dt, 1)
-checkpoint("conditioned")
+    # 2. structure-conditioned
+    s = load_structure_file("/root/reference/structure.json", 2, 4, 32)
+    s_batch = jnp.asarray(np.broadcast_to(s, (256,) + s.shape))
+    genc = make_generator(model2, vars2, conditioned=True, pallas=PALLAS)
+    dt, _ = timed(genc, z256, s_batch, key="lmd2_conditioned_n256_seq_s")
+    report["lmd2_conditioned_n256_seq_s"] = round(256 / dt, 1)
+    checkpoint("conditioned")
 
-# 3. LMD16 + 4x looping
-cfg16, model16, vars16 = build(16)
-gen16 = make_generator(model16, vars16, pallas=PALLAS)
-z16 = jax.random.normal(jax.random.key(3), (64, cfg16.d))
-dt, out16 = timed(gen16, z16, key="lmd16_n64_seq_s")
-report["lmd16_n64_seq_s"] = round(64 / dt, 1)
-report["lmd16_gen_mfu_pct"] = round(
-    F.mfu(64 / dt, F.generation_flops_per_seq(cfg16)), 1)
-m16, t16 = np.asarray(out16[0]), np.asarray(out16[1])
-t0 = time.perf_counter()
-song = song_from_tokens(t16[0], m16[0], cfg16.resolution)
-looped = loop_song(song, 4, 16, cfg16.resolution)
-report["lmd16_loop4_render_ms"] = round((time.perf_counter() - t0) * 1e3, 2)
-checkpoint("lmd16")
+if "gen" in STAGES or "lmd16" in STAGES:
+    # 3. LMD16 + 4x looping (own stage flag: the 16-bar graph is the
+    # slowest compile after a model change)
+    cfg16, model16, vars16 = build(16)
+    gen16 = make_generator(model16, vars16, pallas=PALLAS)
+    z16 = jax.random.normal(jax.random.key(3), (64, cfg16.d))
+    dt, out16 = timed(gen16, z16, key="lmd16_n64_seq_s")
+    report["lmd16_n64_seq_s"] = round(64 / dt, 1)
+    report["lmd16_gen_mfu_pct"] = round(
+        F.mfu(64 / dt, F.generation_flops_per_seq(cfg16)), 1)
+    m16, t16 = np.asarray(out16[0]), np.asarray(out16[1])
+    t0 = time.perf_counter()
+    song = song_from_tokens(t16[0], m16[0], cfg16.resolution)
+    looped = loop_song(song, 4, 16, cfg16.resolution)
+    report["lmd16_loop4_render_ms"] = round(
+        (time.perf_counter() - t0) * 1e3, 2)
+    checkpoint("lmd16")
 
 # 6. serving latency tiers: per-request wall time at each compiled tier
 # batch size (serve.py routes n to the smallest tier >= n); p50/p95 over
 # 20 calls each (VERDICT r2 item 8)
-for tier in (1, 8, 64):
-    z_t = jax.random.normal(jax.random.key(40 + tier), (tier, cfg2.d))
-    jax.block_until_ready(gen1(z_t))
-    lat = []
-    for _ in range(20):
-        t0 = time.perf_counter()
+if "serve" in STAGES:
+    for tier in (1, 8, 64):
+        z_t = jax.random.normal(jax.random.key(40 + tier), (tier, cfg2.d))
         jax.block_until_ready(gen1(z_t))
-        lat.append((time.perf_counter() - t0) * 1e3)
-    report[f"serve_tier{tier}_p50_ms"] = round(float(np.percentile(lat, 50)),
-                                               3)
-    report[f"serve_tier{tier}_p95_ms"] = round(float(np.percentile(lat, 95)),
-                                               3)
-checkpoint("serve_tiers")
+        lat = []
+        for _ in range(20):
+            t0 = time.perf_counter()
+            jax.block_until_ready(gen1(z_t))
+            lat.append((time.perf_counter() - t0) * 1e3)
+        report[f"serve_tier{tier}_p50_ms"] = round(
+            float(np.percentile(lat, 50)), 3)
+        report[f"serve_tier{tier}_p95_ms"] = round(
+            float(np.percentile(lat, 95)), 3)
+    checkpoint("serve_tiers")
 
 
 # 5. training step (fused Pallas kernels; accumulate to fit HBM)
@@ -186,22 +225,23 @@ def timed_train(cfg, key):
     return med
 
 
-dt = timed_train(tcfg, "train_step_s")
-report["train_step_s"] = round(dt, 4)
-report["train_seq_s"] = round(256 / dt, 1)
-report["train_gflops_per_seq"] = round(
-    F.train_step_flops_per_seq(mcfg_tr) / 1e9, 2)
-report["train_mfu_pct"] = round(
-    F.mfu(256 / dt, F.train_step_flops_per_seq(mcfg_tr)), 1)
-checkpoint("train_fp32")
+if "train" in STAGES:
+    dt = timed_train(tcfg, "train_step_s")
+    report["train_step_s"] = round(dt, 4)
+    report["train_seq_s"] = round(256 / dt, 1)
+    report["train_gflops_per_seq"] = round(
+        F.train_step_flops_per_seq(mcfg_tr) / 1e9, 2)
+    report["train_mfu_pct"] = round(
+        F.mfu(256 / dt, F.train_step_flops_per_seq(mcfg_tr)), 1)
+    checkpoint("train_fp32")
 
-# 5b. bf16 training step (VERDICT r1 item 7)
-dt_bf = timed_train(dataclasses.replace(tcfg, bf16=True), "train_step_s_bf16")
-report["train_step_s_bf16"] = round(dt_bf, 4)
-report["train_seq_s_bf16"] = round(256 / dt_bf, 1)
-report["train_mfu_pct_bf16"] = round(
-    F.mfu(256 / dt_bf, F.train_step_flops_per_seq(mcfg_tr)), 1)
+    # 5b. bf16 training step (VERDICT r1 item 7)
+    dt_bf = timed_train(dataclasses.replace(tcfg, bf16=True),
+                        "train_step_s_bf16")
+    report["train_step_s_bf16"] = round(dt_bf, 4)
+    report["train_seq_s_bf16"] = round(256 / dt_bf, 1)
+    report["train_mfu_pct_bf16"] = round(
+        F.mfu(256 / dt_bf, F.train_step_flops_per_seq(mcfg_tr)), 1)
 
 print(json.dumps(report, indent=2))
-with open("bench_report.json", "w") as f:
-    json.dump(report, f, indent=2)
+checkpoint("final")
