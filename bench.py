@@ -19,7 +19,12 @@ import numpy as np
 
 BASELINE_SEQ_PER_SEC = 100.0  # BASELINE.json north-star target
 BATCH = int(os.environ.get("POLY_BENCH_BATCH", 256))
-ROUNDS = int(os.environ.get("POLY_BENCH_ROUNDS", 5))
+# 20 calls per timed pass: the tunnel's block_until_ready sync costs a
+# fixed ~25 ms per PASS (CLAUDE.md timing methodology) — at 5 rounds that
+# inflated every call by ~5 ms vs the profiler's dense 17.6 ms module
+# timeline; at 20 it amortizes to ~1.2 ms/call. Still dispatch-inclusive
+# (conservative vs the chained-scan device-compute number in bench_all).
+ROUNDS = int(os.environ.get("POLY_BENCH_ROUNDS", 20))
 D_MODEL = int(os.environ.get("POLY_BENCH_D", 512))
 N_LAYERS = int(os.environ.get("POLY_BENCH_LAYERS", 8))
 # fused Pallas GCL kernel on by default (set =0 for the plain XLA path)

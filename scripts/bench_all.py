@@ -136,6 +136,52 @@ else:
         F.mfu(256 / dt, F.generation_flops_per_seq(cfg2)), 1)
     checkpoint("batched_bf16")
 
+    # 4c. device-compute throughput: 50 generation rounds chained inside
+    # ONE jit (lax.scan), single scalar readback — the pure-device number
+    # the profiler's module timeline confirms (back-to-back 17.6 ms
+    # modules, zero inter-module gap; PERFORMANCE.md round 3). The 4/4b
+    # per-call numbers additionally pay per-call dispatch + one ~25 ms
+    # tunnel sync per 5-call pass, which a production host would not.
+    import dataclasses as _dc
+
+    # the Pallas kernels live behind ModelConfig (make_generator swaps the
+    # config in itself; here we apply the model directly, so swap explicitly)
+    model_ch = (VAE(_dc.replace(cfg2, use_pallas_gcl=True))
+                if PALLAS else model2)
+
+    def chained_fn(variables, cast):
+        def chained(zs):
+            def body(carry, z):
+                _s, tokens, mask = model_ch.apply(
+                    variables, cast(z), method=VAE.decode_tokens)
+                return carry + jnp.sum(tokens) + jnp.sum(mask), None
+            acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.int32), zs)
+            return acc
+        return jax.jit(chained)
+
+    zs50 = jax.random.normal(jax.random.key(5), (50, 256, cfg2.d))
+    vars_bf = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x, vars2)
+    for suffix, variables, cast in (
+            ("", vars2, lambda z: z),
+            ("_bf16", vars_bf, lambda z: z.astype(jnp.bfloat16))):
+        ch = chained_fn(variables, cast)
+        float(ch(zs50))  # compile + warm
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(ch(zs50))
+            times.append((time.perf_counter() - t0) / 50)
+        dt = float(np.median(times))
+        report.setdefault("spread", {})[
+            f"lmd2_chained_n256_seq_s{suffix}"] = round(
+            (max(times) - min(times)) / dt, 3)
+        report[f"lmd2_chained_n256_seq_s{suffix}"] = round(256 / dt, 1)
+        report[f"lmd2_gen_device_mfu_pct{suffix}"] = round(
+            F.mfu(256 / dt, F.generation_flops_per_seq(cfg2)), 1)
+    checkpoint("chained")
+
     # host-side MIDI rendering throughput for the batch
     mask_np, tok_np = np.asarray(out[0]), np.asarray(out[1])
     t0 = time.perf_counter()
@@ -207,18 +253,19 @@ toks, mask = jnp.asarray(toks), jnp.asarray(mask)
 
 
 def timed_train(cfg, key):
-    """Median over 3 passes of 5 steps (scalar readback = the only
-    reliable sync on the tunnel)."""
+    """Median over 3 passes of 10 steps (scalar readback = the only
+    reliable sync on the tunnel; 10/pass amortizes the fixed ~25 ms
+    pass sync to ~2.5 ms/step — PERFORMANCE.md round-3 profile)."""
     state = create_train_state(model_tr, cfg, jax.random.key(0), toks, mask)
     step = jax.jit(make_train_step(model_tr, cfg, make_optimizer(cfg)))
     float(step(state, toks, mask, jax.random.key(1))[1]["tot"])  # warmup
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        for i in range(5):
+        for i in range(10):
             state, losses, _ = step(state, toks, mask, jax.random.key(i))
         float(losses["tot"])
-        times.append((time.perf_counter() - t0) / 5)
+        times.append((time.perf_counter() - t0) / 10)
     med = float(np.median(times))
     report.setdefault("spread", {})[key] = round(
         (max(times) - min(times)) / med, 3)

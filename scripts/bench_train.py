@@ -52,7 +52,10 @@ def run(tag, cfg):
     times = []
     for _ in range(3):  # median of 3 passes (not best-of — VERDICT r2)
         t0 = time.perf_counter()
-        N = 5
+        # 10 steps/pass: the tunnel's scalar-readback sync costs a fixed
+        # ~25 ms per PASS — at 5 steps it inflated every step by ~5 ms vs
+        # the profiler's 158.6 ms device time (PERFORMANCE.md round 3)
+        N = 10
         for i in range(N):
             state, losses, _ = step(state, toks, mask, jax.random.key(i))
         float(losses["tot"])
