@@ -3,6 +3,11 @@
 Split out of bench_all.py because the two train graphs compile for several
 minutes each through the tunnel and the sandbox caps commands at 10 min —
 run this after bench_all (which covers the generation stages).
+
+`python scripts/bench_train.py lmd16` benches the 16-bar flagship
+training step instead (examples/training_lmd16.json shape: batch 64,
+accumulate 4; bf16 only by default — add `fp32` to the args for both),
+writing train_lmd16_* keys.
 """
 import dataclasses
 import json
@@ -30,18 +35,24 @@ from polyphemus_tpu.train.trainer import (create_train_state, make_optimizer,
                                           make_train_step)
 
 PALLAS = jax.default_backend() == "tpu"
-mcfg = ModelConfig(d=512, gnn_n_layers=8, n_bars=2, resolution=8,
+LMD16 = "lmd16" in sys.argv[1:]
+N_BARS = 16 if LMD16 else 2
+# LMD16 trains at the examples/training_lmd16.json shape: batch 64,
+# accumulate 4 (microbatch 16 x 16 bars = 256 bars, ~11 G activations)
+BATCH = 64 if LMD16 else 256
+mcfg = ModelConfig(d=512, gnn_n_layers=8, n_bars=N_BARS, resolution=8,
                    dropout=0.0, batch_norm=True, use_pallas_gcl=PALLAS)
 model = VAE(mcfg)
-tcfg = TrainConfig(batch_size=256, iters_to_accumulate=4, model=mcfg)
-toks, mask = synthetic_batch(np.random.default_rng(0), 256, 2)
+tcfg = TrainConfig(batch_size=BATCH, iters_to_accumulate=4, model=mcfg)
+toks, mask = synthetic_batch(np.random.default_rng(0), BATCH, N_BARS)
 toks, mask = jnp.asarray(toks), jnp.asarray(mask)
 state0 = create_train_state(model, tcfg, jax.random.key(0), toks, mask)
 
 report_path = "bench_report.json"
 report = json.load(open(report_path)) if os.path.exists(report_path) else {}
 flops_step = F.train_step_flops_per_seq(mcfg)
-report["train_gflops_per_seq"] = round(flops_step / 1e9, 2)
+report["train_lmd16_gflops_per_seq" if LMD16
+       else "train_gflops_per_seq"] = round(flops_step / 1e9, 2)
 
 
 def run(tag, cfg):
@@ -61,17 +72,21 @@ def run(tag, cfg):
         float(losses["tot"])
         times.append((time.perf_counter() - t0) / N)
     dt = float(np.median(times))
+    prefix = "train_lmd16" if LMD16 else "train"
     suffix = "" if tag == "fp32" else "_bf16"
-    report.setdefault("spread", {})[f"train_step_s{suffix}"] = round(
+    report.setdefault("spread", {})[f"{prefix}_step_s{suffix}"] = round(
         (max(times) - min(times)) / dt, 3)
-    report[f"train_step_s{suffix}"] = round(dt, 4)
-    report[f"train_seq_s{suffix}"] = round(256 / dt, 1)
-    report[f"train_mfu_pct{suffix}"] = round(F.mfu(256 / dt, flops_step), 1)
+    report[f"{prefix}_step_s{suffix}"] = round(dt, 4)
+    report[f"{prefix}_seq_s{suffix}"] = round(BATCH / dt, 1)
+    report[f"{prefix}_mfu_pct{suffix}"] = round(
+        F.mfu(BATCH / dt, flops_step), 1)
     print(json.dumps({k: v for k, v in report.items() if "train" in k}),
           flush=True)
     with open(report_path, "w") as f:
         json.dump(report, f, indent=2)
 
 
-for tag in (sys.argv[1:] or ["fp32", "bf16"]):
+tags = [a for a in sys.argv[1:] if a in ("fp32", "bf16")] or (
+    ["bf16"] if LMD16 else ["fp32", "bf16"])
+for tag in tags:
     run(tag, tcfg if tag == "fp32" else dataclasses.replace(tcfg, bf16=True))
