@@ -89,4 +89,16 @@ def run(tag, cfg):
 tags = [a for a in sys.argv[1:] if a in ("fp32", "bf16")] or (
     ["bf16"] if LMD16 else ["fp32", "bf16"])
 for tag in tags:
-    run(tag, tcfg if tag == "fp32" else dataclasses.replace(tcfg, bf16=True))
+    if tag == "fp32":
+        cfg_t = tcfg
+    else:
+        # bf16 halves activation HBM, so microbatch 128 (accumulate 2)
+        # fits and beats accumulate 4 by ~8% (scripts/train_probe11.py:
+        # a4 0.1676, a2 0.1537, a1 0.1597 — fixed per-microbatch costs
+        # amortize over twice the rows). fp32 still needs accumulate 4.
+        # LMD16 keeps its config's accumulate (microbatch already 256
+        # bars; x2 would risk the 16 GB ceiling).
+        cfg_t = dataclasses.replace(
+            tcfg, bf16=True,
+            iters_to_accumulate=4 if LMD16 else 2)
+    run(tag, cfg_t)
