@@ -318,6 +318,7 @@ class Trainer:
         start = time.time()
         stop = False
         timer = StepTimer()
+        self._timer = timer  # _print_stats reads rolling throughput
         profiling = False
         # one sync up front; afterwards the update count tracks on host so
         # logging never reads state.step back per step
@@ -433,6 +434,11 @@ class Trainer:
             if self._jsonl_path is not None:
                 rec = {"batch": batch_i, "epoch": epoch_i,
                        "lr": lr, "beta": beta}
+                timer = getattr(self, "_timer", None)
+                if timer is not None and timer.times:
+                    # rolling host-observed rate at drain time
+                    rec["seq_s"] = round(
+                        timer.steps_per_sec * self.cfg.batch_size, 1)
                 rec.update({f"loss/{k}": float(v) for k, v in l_host.items()})
                 rec.update({f"acc/{k}": float(v) for k, v in a_host.items()})
                 jsonl_lines.append(json.dumps(rec))
@@ -495,6 +501,17 @@ class Trainer:
                  for key, v in self.tr_losses.items()}
         avg_a = {key: round(float(np.mean(v[-k:])), 3)
                  for key, v in self.tr_accuracies.items()}
+        # host-observed throughput (per-step wall between enqueues over a
+        # 50-step rolling window; syncs happen only at drain boundaries, so
+        # this tracks the sustained rate, not per-step device time)
+        thr = ""
+        timer = getattr(self, "_timer", None)
+        if timer is not None and timer.times:
+            seq_s = timer.steps_per_sec * self.cfg.batch_size
+            from .. import flops as _flops
+            mfu = _flops.mfu(seq_s,
+                             _flops.train_step_flops_per_seq(self.cfg.model))
+            thr = f" {seq_s:.0f} seq/s ({mfu:.1f}% MFU)"
         self.log(
             f"[{time.time() - start:8.1f}s] epoch {epoch + 1}/{epochs} "
-            f"batch {self.tot_batches + 1} losses={avg_l} accs={avg_a}")
+            f"batch {self.tot_batches + 1}{thr} losses={avg_l} accs={avg_a}")

@@ -96,8 +96,9 @@ for tag in tags:
         # fits and beats accumulate 4 by ~8% (scripts/train_probe11.py:
         # a4 0.1676, a2 0.1537, a1 0.1597 — fixed per-microbatch costs
         # amortize over twice the rows). fp32 still needs accumulate 4.
-        # LMD16 keeps its config's accumulate (microbatch already 256
-        # bars; x2 would risk the 16 GB ceiling).
+        # LMD16 keeps accumulate 4: its microbatch is already 256 bars
+        # and accumulate 2 measured WORSE (0.3444 vs 0.3273 s/step) —
+        # same shape of diminishing returns as LMD2's accumulate 1.
         cfg_t = dataclasses.replace(
             tcfg, bf16=True,
             iters_to_accumulate=4 if LMD16 else 2)
