@@ -21,7 +21,8 @@ from polyphemus_tpu.train.trainer import (create_train_state, make_optimizer,
 
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/poly_trace"
 
-cfg = TrainConfig(batch_size=256, iters_to_accumulate=4,
+cfg = TrainConfig(batch_size=256,
+                  iters_to_accumulate=int(os.environ.get("ACCUM", "4")),
                   bf16=os.environ.get("BF16", "1") == "1",
                   model=ModelConfig(d=512,
                                     gnn_n_layers=int(
