@@ -68,6 +68,24 @@ def _tokens_from_logits(c_logits):
     return jnp.stack([pitch, dur], axis=-1).astype(jnp.int32)
 
 
+def as_bf16(variables):
+    """Cast every floating leaf of a variable tree to bfloat16 (the bf16
+    generation policy; int leaves like batch counters stay untouched)."""
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x, variables)
+
+
+def with_pallas(model: VAE) -> VAE:
+    """The same model with the fused Pallas GCL kernels enabled (identical
+    param tree; no-op if already enabled)."""
+    if model.cfg.use_pallas_gcl:
+        return model
+    import dataclasses
+
+    return VAE(dataclasses.replace(model.cfg, use_pallas_gcl=True))
+
+
 def make_generator(model: VAE, variables, *, conditioned: bool = False,
                    return_logits: bool = False, bf16: bool = False,
                    pallas: bool = False, structure_temp: float = 0.0,
@@ -84,14 +102,10 @@ def make_generator(model: VAE, variables, *, conditioned: bool = False,
     matters). pallas=True uses the fused VMEM GCL kernel (fastest; same
     MXU-rounding class of deviation).
     """
-    if pallas and not model.cfg.use_pallas_gcl:
-        import dataclasses
-
-        model = VAE(dataclasses.replace(model.cfg, use_pallas_gcl=True))
+    if pallas:
+        model = with_pallas(model)
     if bf16:
-        variables = jax.tree_util.tree_map(
-            lambda x: x.astype(jnp.bfloat16)
-            if jnp.issubdtype(x.dtype, jnp.floating) else x, variables)
+        variables = as_bf16(variables)
 
     stochastic = structure_temp > 0 or content_temp > 0
 

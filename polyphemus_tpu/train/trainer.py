@@ -436,7 +436,10 @@ class Trainer:
                        "lr": lr, "beta": beta}
                 timer = getattr(self, "_timer", None)
                 if timer is not None and timer.times:
-                    # rolling host-observed rate at drain time
+                    # rolling host-observed rate AT DRAIN TIME — every
+                    # record flushed in one drain carries the same value,
+                    # so rate changes appear quantized to drain boundaries
+                    # (<= max_pending steps), not per-step
                     rec["seq_s"] = round(
                         timer.steps_per_sec * self.cfg.batch_size, 1)
                 rec.update({f"loss/{k}": float(v) for k, v in l_host.items()})
@@ -509,8 +512,12 @@ class Trainer:
         if timer is not None and timer.times:
             seq_s = timer.steps_per_sec * self.cfg.batch_size
             from .. import flops as _flops
+            # seq_s is GLOBAL-batch throughput, so scale the peak by the
+            # mesh's device count or multi-chip runs would report >100%
+            n_dev = self.mesh.devices.size if self.mesh is not None else 1
             mfu = _flops.mfu(seq_s,
-                             _flops.train_step_flops_per_seq(self.cfg.model))
+                             _flops.train_step_flops_per_seq(self.cfg.model),
+                             peak=_flops.V5E_PEAK_FLOPS * max(n_dev, 1))
             thr = f" {seq_s:.0f} seq/s ({mfu:.1f}% MFU)"
         self.log(
             f"[{time.time() - start:8.1f}s] epoch {epoch + 1}/{epochs} "

@@ -142,12 +142,12 @@ else:
     # modules, zero inter-module gap; PERFORMANCE.md round 3). The 4/4b
     # per-call numbers additionally pay per-call dispatch + one ~25 ms
     # tunnel sync per 5-call pass, which a production host would not.
-    import dataclasses as _dc
+    from polyphemus_tpu.generate import as_bf16, with_pallas
 
     # the Pallas kernels live behind ModelConfig (make_generator swaps the
-    # config in itself; here we apply the model directly, so swap explicitly)
-    model_ch = (VAE(_dc.replace(cfg2, use_pallas_gcl=True))
-                if PALLAS else model2)
+    # config in itself; here we apply the model directly, so swap explicitly
+    # via the same helper it uses)
+    model_ch = with_pallas(model2) if PALLAS else model2
 
     def chained_fn(variables, cast):
         def chained(zs):
@@ -160,9 +160,7 @@ else:
         return jax.jit(chained)
 
     zs50 = jax.random.normal(jax.random.key(5), (50, 256, cfg2.d))
-    vars_bf = jax.tree_util.tree_map(
-        lambda x: x.astype(jnp.bfloat16)
-        if jnp.issubdtype(x.dtype, jnp.floating) else x, vars2)
+    vars_bf = as_bf16(vars2)
     for suffix, variables, cast in (
             ("", vars2, lambda z: z),
             ("_bf16", vars_bf, lambda z: z.astype(jnp.bfloat16))):

@@ -6,8 +6,9 @@ run this after bench_all (which covers the generation stages).
 
 `python scripts/bench_train.py lmd16` benches the 16-bar flagship
 training step instead (examples/training_lmd16.json shape: batch 64,
-accumulate 4; bf16 only by default — add `fp32` to the args for both),
-writing train_lmd16_* keys.
+accumulate 4), writing train_lmd16_* keys. Dtype args select the runs:
+no dtype arg = bf16 only for lmd16 (fp32+bf16 for lmd2); pass
+`fp32`, `bf16`, or both explicitly to override.
 """
 import dataclasses
 import json
@@ -90,7 +91,16 @@ tags = [a for a in sys.argv[1:] if a in ("fp32", "bf16")] or (
     ["bf16"] if LMD16 else ["fp32", "bf16"])
 for tag in tags:
     if tag == "fp32":
-        cfg_t = tcfg
+        # fp32 LMD16 cannot run the config's accumulate 4: its microbatch
+        # (16 seqs x 16 bars = 256 bars) hits the same fp32-forward-kernel
+        # scoped-VMEM OOM as LMD2 at accumulate 2 (PERFORMANCE.md round 3).
+        # accumulate 8 gives the 128-bar microbatch the fp32 kernels are
+        # proven on. NOTE: this graph's first compile exceeds the 10-min
+        # sandbox command cap (the persistent cache stores only completed
+        # module compiles, so a killed compile restarts from zero) — run
+        # it somewhere without the cap, or stick to the bf16 default.
+        cfg_t = (dataclasses.replace(tcfg, iters_to_accumulate=8)
+                 if LMD16 else tcfg)
     else:
         # bf16 halves activation HBM, so microbatch 128 (accumulate 2)
         # fits and beats accumulate 4 by ~8% (scripts/train_probe11.py:
