@@ -50,3 +50,30 @@ def test_plot_losses_and_accs(tmp_path):
                              save_path=str(tmp_path / "a.png"))
     assert (tmp_path / "l.png").exists()
     assert (tmp_path / "a.png").exists()
+
+
+def test_generate_helpers_as_bf16_and_with_pallas():
+    """as_bf16 casts only floating leaves; with_pallas preserves the param
+    tree and is a no-op when already enabled (generate.py helpers shared by
+    make_generator and the chained benchmark)."""
+    import jax.numpy as jnp
+
+    from polyphemus_tpu.config import ModelConfig
+    from polyphemus_tpu.generate import as_bf16, with_pallas
+    from polyphemus_tpu.models import VAE
+
+    tree = {"w": jnp.ones((2, 2), jnp.float32),
+            "n": jnp.ones((2,), jnp.int32),
+            "h": jnp.ones((2,), jnp.bfloat16)}
+    out = as_bf16(tree)
+    assert out["w"].dtype == jnp.bfloat16
+    assert out["n"].dtype == jnp.int32  # ints untouched
+    assert out["h"].dtype == jnp.bfloat16
+
+    m = VAE(ModelConfig(d=16, gnn_n_layers=1, n_bars=1, resolution=8))
+    mp = with_pallas(m)
+    assert mp.cfg.use_pallas_gcl and not m.cfg.use_pallas_gcl
+    assert with_pallas(mp) is mp  # no-op when already enabled
+    # identical param tree: everything except the pallas switch matches
+    import dataclasses
+    assert dataclasses.replace(mp.cfg, use_pallas_gcl=False) == m.cfg
