@@ -17,9 +17,10 @@ change and can blow the 10-min sandbox cap):
     python scripts/bench_all.py [gen] [lmd16] [serve] [train]
 
 with no args = all stages. `gen` covers latency/batched/conditioned/lmd16
-(+ bf16 batched), `lmd16` just the 16-bar stage (slowest compile), `serve`
-the per-tier p50/p95, `train` the fp32+bf16 step (also standalone as
-scripts/bench_train.py).
+(+ bf16 batched + chained device-compute), `lmd16` just the 16-bar stage
+(slowest compile), `serve` the per-tier p50/p95, `train` the fp32+bf16
+step (also standalone as scripts/bench_train.py). Host-side preprocessing
+throughput is its own CPU-only script, scripts/bench_preprocess.py.
 """
 import json
 import os

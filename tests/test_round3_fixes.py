@@ -142,3 +142,23 @@ def test_service_tier_routing_and_cache_bound(tmp_path):
         assert len(svc._gens) <= 2
     finally:
         serve_mod._MAX_CACHED_GENERATORS = old
+
+
+def test_bench_preprocess_script(tmp_path):
+    """scripts/bench_preprocess.py runs the full host pipeline end-to-end
+    and merges the BASELINE-tracked graphs/sec metric into bench_report.json
+    (run in a tmp cwd with a tiny corpus)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, POLY_BENCH_PRE_FILES="4", JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "bench_preprocess.py")],
+        cwd=tmp_path, env=env, capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    report = json.loads((tmp_path / "bench_report.json").read_text())
+    assert report["preprocess_files_s"] > 0
+    assert report["preprocess_graphs_s"] > 0
