@@ -70,3 +70,69 @@ def test_writer_long_deltas(tmp_path):
     write_midi(str(p), song)
     parsed, _, _ = read_midi(str(p))
     assert sorted(n.time for n in parsed.tracks[0].notes) == [0, 100000]
+
+
+def test_writer_parser_roundtrip_fuzz(tmp_path):
+    """50 random multi-track songs survive write_midi -> read_midi exactly.
+
+    The parser returns ticks at the writer's tpq (= song.resolution), so
+    after a same-resolution quantize the note multisets per track must be
+    identical — the note-level fidelity invariant the whole preprocessing
+    pipeline rests on (docs/PARITY.md)."""
+    import numpy as np
+
+    from polyphemus_tpu.midi import Note, Song, Track, write_midi
+    from polyphemus_tpu.midi.parser import quantize_song, read_midi
+
+    rng = np.random.default_rng(7)
+    for trial in range(50):
+        n_tracks = int(rng.integers(1, 6))
+        tracks = []
+        for ti in range(n_tracks):
+            is_drum = ti == 0 and bool(rng.integers(0, 2))
+            notes = []
+            t = 0
+            # same-pitch overlap is ambiguous SMF (note-off pairing is
+            # undefined; the parser keeps the FIRST note-on) — keep each
+            # pitch monophonic by tracking when it stops sounding
+            busy_until = {}
+            for _ in range(int(rng.integers(1, 40))):
+                t += int(rng.integers(0, 32))
+                for p in rng.choice(128, size=int(rng.integers(1, 4)),
+                                    replace=False):
+                    p = int(p)
+                    if busy_until.get(p, -1) >= t:
+                        continue
+                    dur = int(rng.integers(1, 64))
+                    busy_until[p] = t + dur
+                    notes.append(Note(t, p, dur, int(rng.integers(1, 128))))
+            tracks.append(Track(f"t{ti}", int(rng.integers(0, 128)),
+                                is_drum, notes))
+        song = Song(resolution=8, tempo=float(rng.integers(40, 240)),
+                    tracks=tracks)
+        path = str(tmp_path / f"f{trial}.mid")
+        write_midi(path, song)
+        parsed, tpq, sigs = read_midi(path)
+        q = quantize_song(parsed, tpq, 8)
+
+        def multiset(trks):
+            out = []
+            for tr in trks:
+                if not tr.notes:
+                    continue
+                out.append((tr.is_drum, sorted(
+                    (n.time, n.pitch, n.duration) for n in tr.notes)))
+            return sorted(out, key=str)
+
+        want = []
+        for tr in song.tracks:
+            merged = {}
+            for n in tr.notes:
+                # same-(time,pitch) duplicates: last-writer-wins is not
+                # defined; our generator never emits them (distinct
+                # pitches per onset), so a plain multiset works
+                merged.setdefault((n.time, n.pitch), n.duration)
+            if merged:
+                want.append((tr.is_drum, sorted(
+                    (t_, p_, d_) for (t_, p_), d_ in merged.items())))
+        assert multiset(q.tracks) == sorted(want, key=str), f"trial {trial}"
