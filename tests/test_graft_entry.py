@@ -5,6 +5,12 @@ bench environment (one axon TPU device, MULTICHIP_r01.json rc=1). The hook now
 self-provisions a virtual CPU mesh via subprocess re-exec; this test runs that
 exact path: a fresh process with NO fake-device XLA flag sees one CPU device,
 must respawn itself onto a virtual 2-device mesh, and succeed.
+
+Cold-cache cost: the dry run pays four train-step compiles (two at flagship
+d=512/L=8) on one CPU core — measured 263 s cold, 67 s with the persistent
+compile cache __graft_entry__ enables. The subprocess timeout covers the
+cold case plus the parent's 90 s device-query timeout (a wedged axon tunnel
+blocks jax.devices() indefinitely; the hook now times out and respawns).
 """
 import os
 import re
@@ -26,7 +32,7 @@ def test_dryrun_multichip_self_provisions_virtual_mesh():
     r = subprocess.run(
         [sys.executable, "-c",
          "import __graft_entry__ as g; g.dryrun_multichip(2)"],
-        cwd=REPO, env=env, capture_output=True, text=True, timeout=540)
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=1500)
     assert r.returncode == 0, r.stderr[-2000:]
     assert "dryrun_multichip small ok: 2 devices" in r.stdout, r.stdout
     # round 3: the dryrun also proves numerical equivalence with the
