@@ -52,6 +52,11 @@ def main() -> None:
     from polyphemus_tpu.config import ModelConfig
     from polyphemus_tpu.generate import make_generator
     from polyphemus_tpu.models import VAE
+    from polyphemus_tpu.utils import wait_for_backend
+
+    # A wedged TPU tunnel blocks the first device query indefinitely while it
+    # drains a killed compile (~30 min observed); wait it out, don't hang.
+    wait_for_backend(float(os.environ.get("POLY_BENCH_TUNNEL_WAIT_S", 2400)))
 
     cfg = ModelConfig(d=D_MODEL, gnn_n_layers=N_LAYERS, n_bars=2,
                       resolution=8, dropout=0.0, batch_norm=True)

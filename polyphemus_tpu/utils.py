@@ -44,6 +44,38 @@ def print_params(params, log_fn=print) -> int:
     return total
 
 
+def wait_for_backend(deadline_s: float = 2400.0,
+                     poll_s: float = 30.0) -> int:
+    """Block until the JAX backend answers a device query; return the count.
+
+    The axon TPU tunnel's compile server goes UNRESPONSIVE while draining a
+    killed compile — the first `jax.devices()` then blocks indefinitely
+    (observed >17 min at zero CPU; see CLAUDE.md). Benchmarks should wait
+    out the drain (observed ~30 min) instead of hanging forever, so the
+    query runs in a daemon thread and we poll it with progress lines on
+    stderr up to `deadline_s`. Raises TimeoutError past the deadline; the
+    still-blocked daemon thread dies with the process."""
+    import sys
+    import threading
+
+    out: list[int] = []
+    t = threading.Thread(target=lambda: out.append(len(jax.devices())),
+                         daemon=True)
+    t0 = time.time()
+    t.start()
+    t.join(min(poll_s, deadline_s))
+    while t.is_alive() and time.time() - t0 < deadline_s:
+        print(f"[wait_for_backend] device query pending "
+              f"({int(time.time() - t0)} s) — TPU tunnel busy, waiting "
+              f"for it to drain...", file=sys.stderr, flush=True)
+        t.join(poll_s)
+    if not out:
+        raise TimeoutError(
+            f"JAX backend unresponsive after {deadline_s:.0f} s "
+            f"(wedged TPU tunnel?)")
+    return out[0]
+
+
 @contextlib.contextmanager
 def profile_trace(log_dir: Optional[str]) -> Iterator[None]:
     """jax.profiler trace context (view with TensorBoard / xprof).

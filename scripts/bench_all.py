@@ -47,7 +47,11 @@ from polyphemus_tpu.midi.song import loop_song
 from polyphemus_tpu.models import VAE
 from polyphemus_tpu.train.trainer import (create_train_state, make_optimizer,
                                           make_train_step)
+from polyphemus_tpu.utils import wait_for_backend
 
+# a wedged TPU tunnel blocks the first device query indefinitely while it
+# drains a killed compile (~30 min observed); wait it out, don't hang
+wait_for_backend(float(os.environ.get("POLY_BENCH_TUNNEL_WAIT_S", 2400)))
 PALLAS = jax.default_backend() == "tpu"
 STAGES = set(sys.argv[1:]) or {"gen", "serve", "train"}
 report = {"backend": jax.default_backend(), "pallas": PALLAS,

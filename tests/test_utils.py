@@ -77,3 +77,14 @@ def test_generate_helpers_as_bf16_and_with_pallas():
     # identical param tree: everything except the pallas switch matches
     import dataclasses
     assert dataclasses.replace(mp.cfg, use_pallas_gcl=False) == m.cfg
+
+
+def test_wait_for_backend_returns_device_count():
+    # Responsive backend (conftest's 8 virtual CPU devices): returns the
+    # count immediately, no TimeoutError. The wedged-tunnel path is
+    # exercised for real by the dryrun (see __graft_entry__ and CLAUDE.md).
+    import jax
+
+    from polyphemus_tpu.utils import wait_for_backend
+
+    assert wait_for_backend(deadline_s=60.0) == len(jax.devices())
