@@ -52,6 +52,27 @@ def test_plot_losses_and_accs(tmp_path):
     assert (tmp_path / "a.png").exists()
 
 
+def test_plot_structure_and_pianoroll(tmp_path):
+    """Smoke: the two generation-side plots (reference plots.py:11-71)
+    render and write their files for a random mask / a tiny Song."""
+    from polyphemus_tpu.midi.song import Note, Song, Track
+
+    rng = np.random.default_rng(0)
+    mask = rng.random((2, 4, 32)) < 0.2
+    plotting.plot_structure(mask, save_dir=str(tmp_path), name="s")
+    assert (tmp_path / "s.svg").exists()
+
+    song = Song(resolution=8, tracks=[
+        Track(name="Bass", program=33, is_drum=False,
+              notes=[Note(time=0, pitch=40, duration=8, velocity=64),
+                     Note(time=8, pitch=43, duration=4, velocity=64)]),
+        Track(name="Drums", program=0, is_drum=True,
+              notes=[Note(time=0, pitch=36, duration=1, velocity=64)]),
+    ])
+    plotting.plot_pianoroll(song, save_dir=str(tmp_path), name="p")
+    assert (tmp_path / "p.png").exists()
+
+
 def test_generate_helpers_as_bf16_and_with_pallas():
     """as_bf16 casts only floating leaves; with_pallas preserves the param
     tree and is a no-op when already enabled (generate.py helpers shared by
