@@ -22,6 +22,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(root: str) -> None:
+    # Toy demo: run on host CPU by default so it works (and finishes in
+    # ~2 min) even when the machine's accelerator backend is busy or
+    # unreachable. POLY_QUICKSTART_ACCEL=1 opts into the default backend.
+    # The env var alone is not enough under sitecustomize-pinned backends —
+    # jax.config is authoritative (CLAUDE.md).
+    if os.environ.get("POLY_QUICKSTART_ACCEL", "0") != "1":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
     import numpy as np
 
     from polyphemus_tpu.midi import Note, Song, Track, write_midi

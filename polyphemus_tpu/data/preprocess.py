@@ -28,12 +28,15 @@ against real muspy output (explicit known-unknown; see tests).
 """
 from __future__ import annotations
 
+import io
 import itertools
 import multiprocessing
 import os
+import struct
 import time
+import zlib
 from struct import error as struct_error
-from typing import List, Optional, Sequence
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -56,20 +59,32 @@ def notes_to_pianoroll(notes: Sequence[Note], length: int) -> np.ndarray:
     return roll
 
 
-def pianoroll_to_notes(roll: np.ndarray) -> List[Note]:
-    """Consecutive active steps of one pitch -> one note (muspy
-    from_pypianoroll semantics)."""
-    notes = []
+def _roll_events(roll: np.ndarray
+                 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Pianoroll -> (times, pitches, durations) arrays, sorted by
+    (time, pitch) — the vectorized core of pianoroll_to_notes (one diff +
+    two nonzero over the whole roll instead of a Python loop per pitch)."""
     padded = np.zeros((roll.shape[0] + 2, roll.shape[1]), bool)
     padded[1:-1] = roll > 0
     diff = np.diff(padded.astype(np.int8), axis=0)
-    for pitch in range(roll.shape[1]):
-        starts = np.nonzero(diff[:, pitch] == 1)[0]
-        ends = np.nonzero(diff[:, pitch] == -1)[0]
-        for s, e in zip(starts, ends):
-            notes.append(Note(int(s), pitch, int(e - s), 64))
-    notes.sort(key=lambda n: (n.time, n.pitch))
-    return notes
+    st_t, st_p = np.nonzero(diff == 1)
+    en_t, en_p = np.nonzero(diff == -1)
+    # within one pitch the k-th start pairs with the k-th end, so sorting
+    # both sides by (pitch, time) aligns every start with its end
+    so = np.lexsort((st_t, st_p))
+    eo = np.lexsort((en_t, en_p))
+    st_t, st_p = st_t[so], st_p[so]
+    dur = en_t[eo] - st_t
+    order = np.lexsort((st_p, st_t))  # the reference's (time, pitch) sort
+    return st_t[order], st_p[order], dur[order]
+
+
+def pianoroll_to_notes(roll: np.ndarray) -> List[Note]:
+    """Consecutive active steps of one pitch -> one note (muspy
+    from_pypianoroll semantics), sorted by (time, pitch)."""
+    times, pitches, durs = _roll_events(roll)
+    return [Note(int(t), int(p), int(d), 64)
+            for t, p, d in zip(times, pitches, durs)]
 
 
 # ------------------------------------------------------------------ tokenization
@@ -101,6 +116,38 @@ def pack_track(notes: Sequence[Note], length: int):
     return content, activations
 
 
+def _pack_track_events(times: np.ndarray, pitches: np.ndarray,
+                       durs: np.ndarray, length: int):
+    """Vectorized pack_track for event arrays already sorted by
+    (time, pitch) — exactly the order pianoroll_to_notes yields, so this is
+    behavior-identical to pack_track(pianoroll_to_notes(roll), length)
+    (tested in tests/test_preprocess_properties.py)."""
+    msim = constants.MAX_SIMU_TOKENS
+    content = np.empty((length, msim, 2), np.int16)
+    content[:, :, 0] = constants.PitchToken.PAD
+    content[:, 0, 0] = constants.PitchToken.SOS
+    content[:, :, 1] = constants.DurationToken.PAD
+    content[:, 0, 1] = constants.DurationToken.SOS
+
+    ok = (times >= 0) & (times < length)
+    times, pitches, durs = times[ok], pitches[ok], durs[ok]
+    # slot rank within each timestep; (time, pitch)-sorted input means
+    # rank order matches pack_track's insertion order
+    rank = np.arange(times.size) - np.searchsorted(times, times, side="left")
+    keep = rank < msim - 2  # pack_track caps at 14 notes per step
+    t_k, r_k = times[keep], rank[keep]
+    content[t_k, 1 + r_k, 0] = np.clip(pitches[keep], 0,
+                                       constants.MAX_PITCH_TOKEN)
+    content[t_k, 1 + r_k, 1] = np.clip(durs[keep], 1,
+                                       constants.MAX_DUR_TOKEN + 1) - 1
+
+    counter = 1 + np.bincount(t_k, minlength=length)
+    t_range = np.arange(length)
+    content[t_range, counter, 0] = constants.PitchToken.EOS
+    content[t_range, counter, 1] = constants.DurationToken.EOS
+    return content, counter > 1
+
+
 def _keep_window(s_tensor: np.ndarray, n_bars: int,
                  *, ref_parity: bool = False) -> bool:
     """Silence filters (reference preprocess.py:176-194).
@@ -122,11 +169,9 @@ def _keep_window(s_tensor: np.ndarray, n_bars: int,
                 return False
         else:
             # >= 2 consecutive silent bars within one track
-            silent = np.argwhere(~bars_acts)
-            for track in range(bars_acts.shape[0]):
-                cols = np.sort(silent[silent[:, 0] == track][:, 1])
-                if cols.size >= 2 and (np.diff(cols) == 1).any():
-                    return False
+            silent = ~bars_acts
+            if (silent[:, :-1] & silent[:, 1:]).any():
+                return False
         # a completely silent bar
         if (~bars_acts.any(axis=0)).any():
             return False
@@ -145,6 +190,59 @@ def transpose_non_drums(c_tensor: np.ndarray,
             & (pitches != constants.PitchToken.EOS))
     shifted = np.clip(pitches + shift, 0, constants.MAX_PITCH_TOKEN)
     c_tensor[1:, :, :, 0] = np.where(cond, shifted, pitches)
+
+
+# ------------------------------------------------------------------ fast npz
+_NPY_HEADER_CACHE: dict = {}
+
+
+def _npy_header(arr: np.ndarray) -> bytes:
+    key = (arr.dtype.str, arr.shape)
+    hdr = _NPY_HEADER_CACHE.get(key)
+    if hdr is None:
+        buf = io.BytesIO()
+        # write_array_header_1_0 emits the \x93NUMPY magic itself
+        np.lib.format.write_array_header_1_0(buf, {
+            "descr": np.lib.format.dtype_to_descr(arr.dtype),
+            "fortran_order": False, "shape": arr.shape})
+        hdr = _NPY_HEADER_CACHE[key] = buf.getvalue()
+    return hdr
+
+
+def save_npz_uncompressed(path: str, **arrays: np.ndarray) -> str:
+    """np.load-compatible uncompressed .npz in one write() call.
+
+    np.savez routes every member through zipfile's buffered CRC wrapper and
+    re-formats the npy header per call — at one-sample-per-file (the
+    reference's format, preprocess.py:210) that was ~1/3 of preprocessing
+    time. Here the whole archive (STORED members, cached npy headers,
+    zlib.crc32) is assembled in memory and written once. Appends .npz like
+    np.savez. Returns the final path."""
+    if not path.endswith(".npz"):
+        path += ".npz"
+    blob = bytearray()
+    central = bytearray()
+    for name, arr in arrays.items():
+        fname = (name + ".npy").encode()
+        data = _npy_header(arr) + np.ascontiguousarray(arr).tobytes()
+        crc = zlib.crc32(data) & 0xFFFFFFFF
+        offset = len(blob)
+        # local file header: v2.0, no flags, STORED, 1980-01-01 00:00
+        blob += struct.pack("<IHHHHHIII HH".replace(" ", ""),
+                            0x04034B50, 20, 0, 0, 0, 0x21, crc,
+                            len(data), len(data), len(fname), 0)
+        blob += fname + data
+        central += struct.pack("<IHHHHHHIIIHHHHHII",
+                               0x02014B50, 20, 20, 0, 0, 0, 0x21, crc,
+                               len(data), len(data), len(fname),
+                               0, 0, 0, 0, 0, offset)
+        central += fname
+    n = len(arrays)
+    eocd = struct.pack("<IHHHHIIH", 0x06054B50, 0, 0, n, n,
+                       len(central), len(blob), 0)
+    with open(path, "wb") as f:
+        f.write(bytes(blob) + bytes(central) + eocd)
+    return path
 
 
 # ------------------------------------------------------------------ file pipeline
@@ -214,8 +312,8 @@ def preprocess_midi_file(filepath: str, dest_dir: str, n_bars: int,
                                       notes_to_pianoroll(st.notes, length))
             else:
                 roll = notes_to_pianoroll(t.notes, length)
-            notes = pianoroll_to_notes(roll)
-            content, acts = pack_track(notes, length)
+            times, pitches, durs = _roll_events(roll)
+            content, acts = _pack_track_events(times, pitches, durs, length)
             contents.append(content)
             structures.append(acts)
 
@@ -230,7 +328,7 @@ def preprocess_midi_file(filepath: str, dest_dir: str, n_bars: int,
                 continue
             transpose_non_drums(c, rng)
             out = os.path.join(dest_dir, f"{filename}{saved}")
-            np.savez(out, c_tensor=c, s_tensor=s)
+            save_npz_uncompressed(out, c_tensor=c, s_tensor=s)
             saved += 1
     return saved
 

@@ -48,31 +48,48 @@ def wait_for_backend(deadline_s: float = 2400.0,
                      poll_s: float = 30.0) -> int:
     """Block until the JAX backend answers a device query; return the count.
 
-    The axon TPU tunnel's compile server goes UNRESPONSIVE while draining a
-    killed compile — the first `jax.devices()` then blocks indefinitely
-    (observed >17 min at zero CPU; see CLAUDE.md). Benchmarks should wait
-    out the drain (observed ~30 min) instead of hanging forever, so the
-    query runs in a daemon thread and we poll it with progress lines on
-    stderr up to `deadline_s`. Raises TimeoutError past the deadline; the
-    still-blocked daemon thread dies with the process."""
+    A sick axon TPU tunnel shows two failure modes (both observed):
+    (a) while draining a killed compile the first `jax.devices()` blocks
+    indefinitely (>17 min at zero CPU); (b) the backend init fail-fasts
+    with UNAVAILABLE. Benchmarks should wait out both instead of hanging
+    or dying on the first probe, so the query runs in a daemon thread that
+    RETRIES through init exceptions (a loud init failure leaves
+    xla_bridge._backends empty, so the next jax.devices() re-runs the full
+    init) while the main thread polls with progress lines on stderr up to
+    `deadline_s`. Raises TimeoutError (with the last init error, if any)
+    past the deadline; a still-blocked daemon thread dies with the
+    process."""
     import sys
     import threading
 
     out: list[int] = []
-    t = threading.Thread(target=lambda: out.append(len(jax.devices())),
-                         daemon=True)
+    errs: list[BaseException] = []
     t0 = time.time()
+
+    def probe():
+        while time.time() - t0 < deadline_s:
+            try:
+                out.append(len(jax.devices()))
+                return
+            except Exception as e:  # fail-fast mode: retry re-inits
+                errs.append(e)
+                time.sleep(min(poll_s, 15.0))
+
+    t = threading.Thread(target=probe, daemon=True)
     t.start()
     t.join(min(poll_s, deadline_s))
     while t.is_alive() and time.time() - t0 < deadline_s:
-        print(f"[wait_for_backend] device query pending "
-              f"({int(time.time() - t0)} s) — TPU tunnel busy, waiting "
-              f"for it to drain...", file=sys.stderr, flush=True)
+        state = (f"backend init failing ({errs[-1]!r})" if errs
+                 else "device query pending")
+        print(f"[wait_for_backend] {state} ({int(time.time() - t0)} s) — "
+              f"TPU tunnel busy, waiting for it to recover...",
+              file=sys.stderr, flush=True)
         t.join(poll_s)
     if not out:
+        last = f"; last error: {errs[-1]!r}" if errs else ""
         raise TimeoutError(
             f"JAX backend unresponsive after {deadline_s:.0f} s "
-            f"(wedged TPU tunnel?)")
+            f"(wedged TPU tunnel?){last}")
     return out[0]
 
 

@@ -121,3 +121,70 @@ def test_pack_track_eos_after_last_token_and_silence_pattern():
     assert not acts[0] and acts[2]
     # durations: stored as dur-1 (reference stores dur index shifted)
     assert content[2, 1, 1] == 2
+
+
+# ------------------------------------------- vectorized fast paths (round 3)
+def test_roll_events_pack_matches_loop_implementations():
+    """The vectorized pipeline (_roll_events + _pack_track_events) is
+    behavior-identical to pack_track(pianoroll_to_notes(roll)) across
+    densities incl. >14-simultaneous-note truncation."""
+    from polyphemus_tpu.data.preprocess import (_pack_track_events,
+                                                _roll_events,
+                                                pianoroll_to_notes)
+
+    rng = np.random.default_rng(7)
+    for density in (0.01, 0.05, 0.3, 0.8):
+        for _ in range(20):
+            t_len = int(rng.integers(1, 96))
+            roll = ((rng.random((t_len, 128)) < density)
+                    .astype(np.uint8) * 64)
+            ref_c, ref_a = pack_track(pianoroll_to_notes(roll), t_len)
+            new_c, new_a = _pack_track_events(*_roll_events(roll), t_len)
+            np.testing.assert_array_equal(ref_c, new_c)
+            np.testing.assert_array_equal(ref_a, new_a)
+
+
+def test_keep_window_matches_per_track_bruteforce():
+    from polyphemus_tpu.data.preprocess import _keep_window
+
+    def brute(s_tensor, n_bars):
+        ba = np.any(s_tensor.reshape(s_tensor.shape[0], n_bars, -1), axis=2)
+        for tr in range(ba.shape[0]):
+            cols = np.where(~ba[tr])[0]
+            if cols.size >= 2 and (np.diff(cols) == 1).any():
+                return False
+        return not (~ba.any(axis=0)).any()
+
+    rng = np.random.default_rng(3)
+    for _ in range(300):
+        nb = int(rng.integers(2, 6))
+        st = rng.random((4, nb * 32)) < rng.choice([0.02, 0.1, 0.5])
+        assert _keep_window(st, nb) == brute(st, nb)
+
+
+def test_save_npz_uncompressed_is_np_load_and_fastloader_compatible(tmp_path):
+    """The one-write .npz writer round-trips through np.load, a strict
+    zipfile CRC check, and the fastloader's mmap member parser."""
+    import zipfile
+
+    from polyphemus_tpu.data.fastloader import _npz_member_views
+    from polyphemus_tpu.data.preprocess import save_npz_uncompressed
+
+    rng = np.random.default_rng(5)
+    c = rng.integers(-5, 300, (4, 64, 16, 2)).astype(np.int16)
+    s = rng.random((4, 64)) < 0.3
+    path = save_npz_uncompressed(str(tmp_path / "w0"), c_tensor=c,
+                                 s_tensor=s)
+    assert path.endswith(".npz")
+    with np.load(path) as z:
+        np.testing.assert_array_equal(z["c_tensor"], c)
+        np.testing.assert_array_equal(z["s_tensor"], s)
+    with zipfile.ZipFile(path) as zf:
+        assert zf.testzip() is None
+        assert sorted(zf.namelist()) == ["c_tensor.npy", "s_tensor.npy"]
+    views, mm, f = _npz_member_views(path, ("c_tensor", "s_tensor"))
+    np.testing.assert_array_equal(views["c_tensor"], c)
+    np.testing.assert_array_equal(views["s_tensor"], s)
+    del views
+    mm.close()
+    f.close()
