@@ -12,20 +12,23 @@ Forward (gcl_pallas._kernel):
 
 Backward comes in two shapes:
 
-  * FUSED kernel (default under bf16): dx, dG, dbias AND dWbig in ONE
-    pass. The selection matrices, gathered pre-activations, and relu
-    masks are built once per bar and shared between the data-grad and
-    weight-grad paths; transposed gathers/scatters contract dot_general
-    over dim 0 of the *already-built* selection matrices (no separate
-    transposed builds); x/g stream from HBM exactly once. All eight
-    (d, d) dW accumulators stay VMEM-resident (8 MB f32 at d=512), which
-    together with the resident bf16 Wbig (4.2 MB) fits the 16 MB scoped
-    VMEM only under the bf16 compute policy.
-  * Two-kernel split (fp32 fallback): kernel A (dx/dG/dbias, Wbig
-    resident) + kernel B (dWbig, accumulators resident). fp32 cannot fuse:
-    Wbig (8.4 MB) + accumulators (8.4 MB) alone exceed VMEM.
+  * Two-kernel split (`gcl_backward_pallas`, the PRODUCTION path for both
+    dtypes — this is what the custom_vjp in gcl_pallas.py calls): kernel A
+    (dx/dG/dbias, Wbig resident) + kernel B (dWbig, accumulators
+    resident).
+  * FUSED single-pass kernel (`gcl_backward_fused`): dx, dG, dbias AND
+    dWbig in ONE pass — selection matrices/relu masks built once per bar
+    and shared; x/g stream from HBM exactly once; all eight (d, d) dW
+    accumulators VMEM-resident (8 MB f32 at d=512). Measured SLOWER than
+    the split on hardware (5.1 ms vs 3.6 ms, 512 bars bf16,
+    scripts/bwd_probe.py): the resident bf16 Wbig (4.2 MB) + f32
+    accumulators leave no VMEM headroom to double-buffer the streamed
+    blocks, and bb=4 fails to compile. fp32 cannot fuse at all (Wbig
+    8.4 MB + accumulators 8.4 MB alone exceed the 16 MB scoped VMEM).
+    Kept as the recorded negative result (PERFORMANCE.md) and still
+    correctness-tested so it cannot silently rot.
 
-Everything is verified against jax.grad of the XLA lattice path in
+Both variants are verified against jax.grad of the XLA lattice path in
 interpret mode (tests/test_pallas_grad.py).
 """
 from __future__ import annotations

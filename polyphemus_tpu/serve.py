@@ -10,7 +10,7 @@ MIDI renders host-side; HTTP is stdlib (no extra dependencies).
     python -m polyphemus_tpu.cli.serve MODEL_DIR --port 8000
 
 API:
-  GET  /healthz
+  GET  /healthz (alias: /health)
       -> {"status": "ok", "model": ..., "n_bars": N, "batch_cap": B,
           "tiers": [...]}
   POST /generate   {"n": 4, "seed": 123,
@@ -42,6 +42,20 @@ import numpy as np
 _MAX_CACHED_GENERATORS = 24
 
 
+def _quantize_temp(t) -> float:
+    """Quantize client floats so the generator-cache key space (and compile
+    count) is bounded; 2 decimals is far below audible temperature
+    resolution. A positive temperature never quantizes to 0.0 — that would
+    silently turn a stochastic request into deterministic argmax."""
+    t = float(t)
+    if t < 0:
+        raise ValueError("temperatures must be >= 0")
+    q = round(t, 2)
+    if t > 0 and q == 0.0:
+        q = 0.01
+    return q
+
+
 class GenerationService:
     """Model + generator cache; independent of the HTTP layer (usable from
     tests or other frontends directly)."""
@@ -60,6 +74,8 @@ class GenerationService:
         if tiers is None:
             tiers = [t for t in (1, 8) if t < batch_cap] + [batch_cap]
         self.tiers = sorted(set(int(t) for t in tiers))
+        if self.tiers[0] < 1:
+            raise ValueError("tiers must be >= 1")
         if self.tiers[-1] != batch_cap:
             raise ValueError("largest tier must equal batch_cap")
         self.model, self.variables, self.cfg = G.load_model(model_dir)
@@ -79,9 +95,7 @@ class GenerationService:
     def _generator_locked(self, tier: int, s_temp: float, c_temp: float,
                           conditioned: bool):
         """Caller must hold self._lock."""
-        # quantize client floats so the key space (and compile count) is
-        # bounded; 2 decimals is far below audible temperature resolution
-        key = (int(tier), round(float(s_temp), 2), round(float(c_temp), 2),
+        key = (int(tier), _quantize_temp(s_temp), _quantize_temp(c_temp),
                bool(conditioned))
         gen = self._gens.get(key)
         if gen is None:
@@ -158,7 +172,7 @@ def make_handler(svc: GenerationService):
             self.wfile.write(body)
 
         def do_GET(self):
-            if self.path == "/healthz":
+            if self.path in ("/healthz", "/health"):
                 self._send(200, {
                     "status": "ok", "model": svc.model_dir,
                     "n_bars": svc.mc.n_bars, "d": svc.mc.d,

@@ -199,6 +199,26 @@ def make_eval_step(model: VAE, cfg: TrainConfig) -> Callable:
     return step
 
 
+def _host_replicated_state(state):
+    """Fetch every array of `state` to host memory on ALL processes.
+
+    Single-process (the common case): plain device_get. Multi-host with
+    arrays sharded across processes (e.g. tensor parallel over hosts):
+    `process_allgather` assembles the global value everywhere — it is a
+    collective, so the caller must invoke this on every process before any
+    primary-only gating.
+    """
+    def to_host(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            from jax.experimental import multihost_utils
+
+            return np.asarray(multihost_utils.process_allgather(
+                x, tiled=True))
+        return x
+
+    return jax.device_get(jax.tree_util.tree_map(to_host, state))
+
+
 class Trainer:
     """Host loop: epochs, periodic print/eval/save, early_exit, resume."""
 
@@ -483,6 +503,11 @@ class Trainer:
         return state
 
     def _save(self, state, name):
+        # Materializing a multi-host-sharded state is a COLLECTIVE: every
+        # process must take part in the allgather BEFORE the primary-only
+        # gate, or process 0's device_get would hit non-addressable shards
+        # (tensor parallel spanning hosts) and raise / deadlock.
+        state = _host_replicated_state(state)
         if not self.is_primary:
             return
         meta = {

@@ -27,6 +27,16 @@ import os
 import sys
 import time
 
+# validate stage args BEFORE the jax import / TPU-tunnel wait: a typo must
+# fail fast, not after minutes of backend setup (and an empty run must not
+# silently rewrite bench_report.json)
+_KNOWN_STAGES = {"gen", "lmd16", "serve", "train"}
+STAGES = set(sys.argv[1:]) or {"gen", "serve", "train"}
+_bad = STAGES - _KNOWN_STAGES
+if _bad:
+    sys.exit(f"unknown stage(s) {sorted(_bad)}; choose from "
+             f"{sorted(_KNOWN_STAGES)}")
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("POLY_COMPILE_CACHE",
                       os.path.expanduser("~/.cache/polyphemus_jax"))
@@ -53,7 +63,6 @@ from polyphemus_tpu.utils import wait_for_backend
 # drains a killed compile (~30 min observed); wait it out, don't hang
 wait_for_backend(float(os.environ.get("POLY_BENCH_TUNNEL_WAIT_S", 2400)))
 PALLAS = jax.default_backend() == "tpu"
-STAGES = set(sys.argv[1:]) or {"gen", "serve", "train"}
 report = {"backend": jax.default_backend(), "pallas": PALLAS,
           "note": ("median-of-3 runs per metric with recorded relative "
                    "spread (tunnel variance documented in PERFORMANCE.md); "

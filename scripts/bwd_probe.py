@@ -85,6 +85,20 @@ for dt in (jnp.bfloat16, jnp.float32):
             except Exception as e:
                 print(json.dumps({"what": f"bwd_two_kernel_d{bbd}_w{bbw}",
                                   "error": repr(e)[:160]}), flush=True)
+        # the single-pass fused backward (VMEM-viable in bf16 only) — the
+        # 5.1 ms vs 3.6 ms negative result cited in gcl_pallas.py and
+        # PERFORMANCE.md comes from exactly this measurement
+        for bbf in (2, 4):
+            def bwd_fused(a, bbf=bbf):
+                dx, dg, dw, db = gcl_pallas_bwd.gcl_backward_fused(
+                    a, aux, gates, wbig, gj.astype(a.dtype),
+                    bars_per_block=bbf)
+                return dx
+            try:
+                timeit(f"bwd_fused_bb{bbf}", bwd_fused, x0, dt)
+            except Exception as e:
+                print(json.dumps({"what": f"bwd_fused_bb{bbf}",
+                                  "error": repr(e)[:160]}), flush=True)
     else:
         def bwd_old(a):
             dx, dg, dw, db = gcl_pallas_bwd.gcl_backward_pallas(

@@ -29,6 +29,7 @@ the BASELINE.md parity criterion.
 """
 import argparse
 import os
+import shutil
 import subprocess
 import sys
 
@@ -137,13 +138,21 @@ def cmd_full(args):
     # 3. reference side in its own venv
     venv = os.path.join(work, "ref_venv")
     vpy = os.path.join(venv, "bin", "python")
-    if not os.path.exists(vpy):
+    provisioned = os.path.join(venv, ".deps_installed")
+    if not os.path.exists(provisioned):
+        # not atomic vs a partial earlier attempt (venv created but pip
+        # failed): rebuild from scratch and only stamp after pip succeeds
+        if os.path.exists(venv):
+            print(f"[full] removing partially provisioned venv {venv} ...")
+            shutil.rmtree(venv)
         print(f"[full] creating venv {venv} ...")
         import venv as venv_mod
 
         venv_mod.EnvBuilder(with_pip=True).create(venv)
         subprocess.run([vpy, "-m", "pip", "install", "-q"] + REF_DEPS,
                        check=True)
+        with open(provisioned, "w") as f:
+            f.write(" ".join(REF_DEPS) + "\n")
     ref_out = os.path.join(work, "reference")
     driver = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "_ref_generate_driver.py")

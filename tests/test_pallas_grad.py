@@ -46,6 +46,33 @@ def test_gcl_fused_grads_match():
                                    rtol=5e-4, atol=5e-4)
 
 
+def test_gcl_backward_fused_matches_split():
+    """The single-pass fused backward (kept as a recorded negative perf
+    result, PERFORMANCE.md) must stay numerically identical to the
+    production two-kernel split so the decision record cannot rot."""
+    from polyphemus_tpu.ops.kernels import gcl_pallas_bwd
+
+    rng = np.random.default_rng(3)
+    mask = rng.random((2, 2, T, S)) < 0.2
+    mask[..., 0, 0] = True
+    x = jnp.asarray(rng.standard_normal((2, 2, T, S, D)).astype(np.float32)
+                    * mask[..., None])
+    g = jnp.asarray(rng.standard_normal(x.shape).astype(np.float32))
+    gate = jnp.asarray(rng.standard_normal((S, D)).astype(np.float32))
+    rel_w = jnp.asarray((rng.standard_normal((6, D, D)) * 0.2)
+                        .astype(np.float32))
+    root = jnp.asarray((rng.standard_normal((D, D)) * 0.2)
+                       .astype(np.float32))
+    aux = gcl_pallas.build_kernel_aux(jnp.asarray(mask))
+    wbig = gcl_pallas.pack_weights(rel_w, root, T, dtype=x.dtype)
+
+    fused = gcl_pallas_bwd.gcl_backward_fused(x, aux, gate, wbig, g)
+    split = gcl_pallas_bwd.gcl_backward_pallas(x, aux, gate, wbig, g)
+    for name, a, b in zip(("dx", "dgate", "dwbig", "dbias"), fused, split):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-5, atol=5e-5, err_msg=name)
+
+
 def test_train_step_with_pallas_gcl():
     cfg = TrainConfig(
         batch_size=4,

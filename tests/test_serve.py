@@ -80,3 +80,33 @@ def test_generate_validation(server):
     status, body = _post(server, {"n": 99})
     assert status == 400
     assert "n must be" in body["error"]
+
+
+def test_health_alias(server):
+    with urllib.request.urlopen(server + "/health", timeout=30) as r:
+        assert json.loads(r.read())["status"] == "ok"
+
+
+def test_negative_temperature_rejected(server):
+    status, body = _post(server, {"n": 1, "content_temp": -0.5})
+    assert status == 400
+    assert "temperatures" in body["error"]
+
+
+def test_temp_quantization_preserves_stochasticity():
+    from polyphemus_tpu.serve import _quantize_temp
+
+    # a positive temperature must never quantize to deterministic argmax
+    assert _quantize_temp(0.004) == 0.01
+    assert _quantize_temp(0.0) == 0.0
+    assert _quantize_temp(0.678) == 0.68
+    with pytest.raises(ValueError):
+        _quantize_temp(-1.0)
+
+
+def test_tiers_must_be_positive(tmp_path_factory):
+    from polyphemus_tpu.serve import GenerationService
+
+    model_dir = save_native_model(tmp_path_factory.mktemp("srv_tiers"))
+    with pytest.raises(ValueError, match="tiers must be >= 1"):
+        GenerationService(model_dir, batch_cap=4, tiers=[0, 4])
