@@ -54,7 +54,19 @@ def main(argv=None):
     mc = cfg.model
 
     print("Preparing datasets and dataloaders...")
-    dataset = PolyphemusDataset(args.dataset_dir, mc.n_bars)
+    if os.path.exists(os.path.join(args.dataset_dir, "shards.json")):
+        # packed shard dir (cli.pack_dataset): mmapped shards + native C++
+        # batch gather — the production fast path; per-sample .npz dirs
+        # (the reference's on-disk format) keep working below
+        from ..data.fastloader import FastShardedBatcher
+
+        dataset = FastShardedBatcher(args.dataset_dir)
+        if dataset.index.get("n_bars") != mc.n_bars:
+            raise SystemExit(
+                f"dataset packed with n_bars={dataset.index.get('n_bars')} "
+                f"but config wants n_bars={mc.n_bars}")
+    else:
+        dataset = PolyphemusDataset(args.dataset_dir, mc.n_bars)
     n = len(dataset)
     rng = np.random.default_rng(args.seed)
     order = rng.permutation(n)
@@ -63,7 +75,11 @@ def main(argv=None):
 
     class _Subset:
         def __init__(self, ds, idxs):
-            self.ds, self.idxs = ds, idxs
+            self.ds, self.idxs = ds, np.asarray(idxs)
+            if hasattr(ds, "gather_batch"):
+                # keep the batch-level fast path through the subset view
+                self.gather_batch = (
+                    lambda b: ds.gather_batch(self.idxs[np.asarray(b)]))
 
         def __len__(self):
             return len(self.idxs)

@@ -69,3 +69,35 @@ def test_train_cli_end_to_end(tmp_path):
     stats_main([str(model_dir)])
     assert (model_dir / "losses.png").exists()
     assert (model_dir / "accuracies.png").exists()
+
+
+def test_train_cli_on_packed_shards(tmp_path):
+    """The CLI auto-detects a packed shard dir (shards.json) and trains
+    through the FastShardedBatcher batch-gather path."""
+    from polyphemus_tpu.data.sharded import pack_dataset
+
+    data = make_dataset(tmp_path, n=16)
+    packed = tmp_path / "packed"
+    assert pack_dataset(data, str(packed), n_bars=2) == 16
+    cfg_path = write_config(tmp_path)
+    out = tmp_path / "runs"
+
+    train_main([str(packed), str(out), cfg_path, "--model_name", "mp",
+                "--max_epochs", "1", "--save_every", "2",
+                "--print_every", "10", "--num_workers", "2",
+                "--seed", "0", "--early_exit", "2"])
+    model_dir = out / "mp"
+    assert (model_dir / "checkpoint.msgpack").exists()
+    lines = [json.loads(ln) for ln in
+             (model_dir / "metrics.jsonl").read_text().splitlines()]
+    assert lines and np.isfinite(lines[-1]["loss/tot"])
+
+    # n_bars mismatch between packed data and config fails loudly
+    import pytest
+    cfg = json.loads((tmp_path / "training.json").read_text())
+    cfg["model"]["n_bars"] = 4
+    bad_cfg = tmp_path / "training4.json"
+    bad_cfg.write_text(json.dumps(cfg))
+    with pytest.raises(SystemExit, match="n_bars"):
+        train_main([str(packed), str(out), str(bad_cfg),
+                    "--model_name", "mp4", "--max_epochs", "1"])
