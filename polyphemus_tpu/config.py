@@ -116,8 +116,8 @@ class TrainConfig:
     # Slot-scanned content CE + metrics (the training-side mirror of the
     # generation fast path): the (B, nb, T, S, 15, 230) logits never
     # materialize. Numerically equivalent to the logits path (fp32 CE, same
-    # masks); auto-falls back to logits when model.dropout > 0 (the logits
-    # path applies dropout to the slot hiddens).
+    # masks); with model.dropout > 0 the scan draws per-slot dropout keys
+    # for the slot hiddens (same iid semantics as the logits path).
     fused_ce: bool = True
     seed: int = 0
     # Reference-parity mode: reproduce the reference's training quirks

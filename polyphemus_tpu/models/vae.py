@@ -289,9 +289,10 @@ class ContentDecoder(nn.Module):
     emit='train_stats' is the training-side mirror: the same slot scan
     computes masked-CE sums and accuracy counts against `targets` directly
     (rematerialized backward — jax.checkpoint on the body), so neither the
-    logits nor per-slot hiddens are ever stored. Requires cfg.dropout == 0
-    on the content tail (the logits path applies dropout to the slot
-    hiddens, reference model.py:549-550; callers fall back to logits).
+    logits nor per-slot hiddens are ever stored. Slot-hidden dropout
+    (reference model.py:549-550) draws one key per slot inside the scan —
+    same iid elementwise semantics as the logits path's nn.Dropout on the
+    full (..., 15, d) tensor, so cfg.dropout > 0 trains fused too.
     """
 
     cfg: ModelConfig
@@ -350,15 +351,28 @@ class ContentDecoder(nn.Module):
 
         if emit == "train_stats":
             assert targets is not None
-            assert cfg.dropout == 0.0, \
-                "train_stats path has no slot-hidden dropout; use logits"
             act = mask
             is_drum = jnp.zeros(mask.shape, bool).at[..., 0, :].set(True)
             f32 = jnp.float32
 
+            # Slot-hidden dropout (reference model.py:549-550 applies
+            # dropout to the chord-decoded hiddens before unembedding).
+            # The logits path drops the full (..., 15, d) tensor at once;
+            # here each slot draws its own key inside the scan — identical
+            # iid elementwise semantics, the hiddens still never persist.
+            drop_p = cfg.dropout if not deterministic else 0.0
+            slot_keys = (jax.random.split(self.make_rng("dropout"), n_slots)
+                         if drop_p > 0.0 else [None] * n_slots)
+
             def body(carry, xs):
-                w, b, pt, dt_ = xs
-                pitch, dur = unembed(x @ w + b)
+                w, b, pt, dt_, key = xs
+                slot_h = x @ w + b
+                if drop_p > 0.0:
+                    keep = jax.random.bernoulli(key, 1.0 - drop_p,
+                                                slot_h.shape)
+                    slot_h = jnp.where(keep, slot_h / (1.0 - drop_p),
+                                       0.0).astype(slot_h.dtype)
+                pitch, dur = unembed(slot_h)
                 lp_p = jax.nn.log_softmax(pitch.astype(f32), axis=-1)
                 lp_d = jax.nn.log_softmax(dur.astype(f32), axis=-1)
                 # one-hot multiply-reduce instead of take_along_axis: the
@@ -407,7 +421,8 @@ class ContentDecoder(nn.Module):
                 stats, _ = body(stats, (ck[:, s * d:(s + 1) * d],
                                         cb[s * d:(s + 1) * d],
                                         targets[..., s, 0],
-                                        targets[..., s, 1]))
+                                        targets[..., s, 1],
+                                        slot_keys[s]))
             return stats
 
         # emit == "tokens": only int32 ids reach HBM. Deterministic decode on

@@ -93,8 +93,9 @@ def _forward_loss(model, cfg, params, batch_stats, tokens, mask, rng, beta,
     if cfg.model.dropout > 0 or cfg.model.message_dropout > 0:
         rngs["dropout"] = jax.random.fold_in(rng, 7)
     # Slot-scanned CE path: the content logits never materialize (the
-    # logits path is kept for dropout>0 and for parity tests).
-    fused = cfg.fused_ce and cfg.model.dropout == 0
+    # logits path is kept for parity tests; dropout > 0 runs fused too —
+    # slot-hidden dropout draws per-slot keys inside the scan).
+    fused = cfg.fused_ce
     method = VAE.train_stats if fused else None
     if train:
         (head, mu, log_var), updates = model.apply(
