@@ -319,7 +319,7 @@ def _gcl_fused_bwd(res, g):
     bf16 = np.dtype(x.dtype).itemsize <= 2
     # Two-kernel backward (dx/dG/dbias + dW) wins on hardware: the
     # single-pass gcl_backward_fused variant measured 5.1 ms vs 3.6 ms for
-    # 512 bars bf16 (scripts/bwd_probe.py) — the fused kernel's resident
+    # 512 bars bf16 (scripts/probes/bwd_probe.py) — the fused kernel's resident
     # Wbig + f32 dW accumulators leave no VMEM for pipelining the
     # streamed blocks, and bb=4 fails to compile. Kept for reference;
     # measurement recorded in PERFORMANCE.md.

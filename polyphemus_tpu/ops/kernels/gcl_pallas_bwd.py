@@ -21,7 +21,7 @@ Backward comes in two shapes:
     and shared; x/g stream from HBM exactly once; all eight (d, d) dW
     accumulators VMEM-resident (8 MB f32 at d=512). Measured SLOWER than
     the split on hardware (5.1 ms vs 3.6 ms, 512 bars bf16,
-    scripts/bwd_probe.py): the resident bf16 Wbig (4.2 MB) + f32
+    scripts/probes/bwd_probe.py): the resident bf16 Wbig (4.2 MB) + f32
     accumulators leave no VMEM headroom to double-buffer the streamed
     blocks, and bb=4 fails to compile. fp32 cannot fuse at all (Wbig
     8.4 MB + accumulators 8.4 MB alone exceed the 16 MB scoped VMEM).

@@ -107,7 +107,7 @@ for tag in tags:
                  if LMD16 else tcfg)
     else:
         # bf16 halves activation HBM, so microbatch 128 (accumulate 2)
-        # fits and beats accumulate 4 by ~8% (scripts/train_probe11.py:
+        # fits and beats accumulate 4 by ~8% (scripts/probes/train_probe11.py:
         # a4 0.1676, a2 0.1537, a1 0.1597 — fixed per-microbatch costs
         # amortize over twice the rows). fp32 still needs accumulate 4.
         # LMD16 keeps accumulate 4: its microbatch is already 256 bars

@@ -1,6 +1,6 @@
 """One-shot TPU perf probe: generation fp32 vs bf16, train step/s.
 
-Run alone (single CPU core + single TPU): python scripts/perf_probe.py
+Run alone (single CPU core + single TPU): python scripts/probes/perf_probe.py
 """
 import json
 import os
@@ -9,7 +9,7 @@ import time
 
 # repo root on sys.path WITHOUT touching PYTHONPATH (overriding PYTHONPATH
 # drops /root/.axon_site and the TPU plugin never registers)
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
 
 os.environ.setdefault("POLY_COMPILE_CACHE",
                       os.path.expanduser("~/.cache/polyphemus_jax"))

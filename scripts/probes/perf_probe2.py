@@ -1,6 +1,6 @@
 """Batch-scaling probe for generation throughput."""
 import json, os, sys, time
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
 os.environ.setdefault("POLY_COMPILE_CACHE", os.path.expanduser("~/.cache/polyphemus_jax"))
 import jax
 jax.config.update("jax_compilation_cache_dir", os.environ["POLY_COMPILE_CACHE"])

@@ -1,6 +1,6 @@
 """Train-step time vs gnn_n_layers: separates GCN cost from the rest."""
 import json, os, sys, time
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
 import jax
 jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/polyphemus_jax"))
 import jax.numpy as jnp, numpy as np

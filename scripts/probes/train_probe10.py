@@ -6,7 +6,7 @@ Variants (argv): fwd grad bf16
   bf16 — full train step, bf16 compute policy, accumulate 4.
 """
 import json, os, sys, time
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
 import jax
 jax.config.update("jax_compilation_cache_dir",
                   os.path.expanduser("~/.cache/polyphemus_jax"))

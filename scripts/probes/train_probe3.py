@@ -1,6 +1,6 @@
 """Can batch 256 fit without accumulation on the Pallas path?"""
 import json, os, sys, time
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
 import jax
 jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/polyphemus_jax"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -1,5 +1,5 @@
 import json, os, sys, time
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
 import jax
 jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/polyphemus_jax"))
 import jax.numpy as jnp, numpy as np
@@ -8,23 +8,21 @@ from polyphemus_tpu.data.dataset import synthetic_batch
 from polyphemus_tpu.models import VAE
 from polyphemus_tpu.train.trainer import create_train_state, make_optimizer, make_train_step
 
-cfg = TrainConfig(batch_size=256, iters_to_accumulate=1,
+cfg = TrainConfig(batch_size=256, iters_to_accumulate=4,
                   model=ModelConfig(d=512, gnn_n_layers=8, n_bars=2, resolution=8,
                                     dropout=0.0, batch_norm=True, use_pallas_gcl=True))
 model = VAE(cfg.model)
 toks, mask = synthetic_batch(np.random.default_rng(0), 256, 2)
 toks, mask = jnp.asarray(toks), jnp.asarray(mask)
 state = create_train_state(model, cfg, jax.random.key(0), toks, mask)
-step = jax.jit(make_train_step(model, cfg, make_optimizer(cfg)))
-state, losses, _ = step(state, toks, mask, jax.random.key(99))
-print("first tot:", float(losses["tot"]))  # host transfer = real sync
-t0 = time.perf_counter()
-N = 20
-for i in range(N):
-    state, losses, _ = step(state, toks, mask, jax.random.key(i))
-tot = float(losses["tot"])     # actual device->host readback
-leaf = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
-dt = (time.perf_counter() - t0) / N
-print(json.dumps({"accum": 1, "true_step_s": round(dt, 4),
-                  "seq_s": round(256/dt, 1), "tot": round(tot, 3),
-                  "leaf0": float(leaf.ravel()[0])}))
+for wm in (False, True):
+    step = jax.jit(make_train_step(model, cfg, make_optimizer(cfg), with_metrics=wm))
+    s, l, _ = step(state, toks, mask, jax.random.key(99)); float(l["tot"])
+    st = state
+    t0 = time.perf_counter()
+    N = 10
+    for i in range(N):
+        st, losses, _ = step(st, toks, mask, jax.random.key(i))
+    tot = float(losses["tot"])
+    dt = (time.perf_counter() - t0) / N
+    print(json.dumps({"with_metrics": wm, "step_s": round(dt, 4)}), flush=True)

@@ -8,7 +8,7 @@ Variants at batch 256 / accum 4 / Pallas GCL (flagship training config):
      bound on what a fused CE can buy.
 """
 import json, os, sys, time
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
 import jax
 jax.config.update("jax_compilation_cache_dir",
                   os.path.expanduser("~/.cache/polyphemus_jax"))
@@ -22,7 +22,7 @@ from polyphemus_tpu.train.trainer import (create_train_state, make_optimizer,
 
 # fused_ce=False: these variants measure the round-1 logits path (the
 # monkeypatched loss functions only apply there); the fused path is timed
-# separately by scripts/train_probe8.py.
+# separately by scripts/probes/train_probe8.py.
 cfg = TrainConfig(batch_size=256, iters_to_accumulate=4, fused_ce=False,
                   model=ModelConfig(d=512, gnn_n_layers=8, n_bars=2,
                                     resolution=8, dropout=0.0,

@@ -1,9 +1,9 @@
 """Round-2: time the slot-scanned (fused) CE train step vs the logits path.
 
-Usage: python scripts/train_probe8.py [layers ...]  (default: 8 1)
+Usage: python scripts/probes/train_probe8.py [layers ...]  (default: 8 1)
 """
 import json, os, sys, time
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
 import jax
 jax.config.update("jax_compilation_cache_dir",
                   os.path.expanduser("~/.cache/polyphemus_jax"))

@@ -7,7 +7,7 @@ Variants (argv): acc1 acc2 nobn fce
   fce       — fused_content_encoder=True retest under fused CE.
 """
 import json, os, sys, time
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
 import jax
 jax.config.update("jax_compilation_cache_dir",
                   os.path.expanduser("~/.cache/polyphemus_jax"))
