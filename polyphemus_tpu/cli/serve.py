@@ -22,13 +22,19 @@ def main(argv=None):
                         "route to the smallest tier >= n. Default: 1 8 "
                         "batch_cap")
     p.add_argument("--no_warmup", action="store_true", default=False)
+    p.add_argument("--no_coalesce", action="store_true", default=False,
+                   help="disable concurrent-request micro-batching")
     args = p.parse_args(argv)
+
+    from ..utils import enable_compile_cache
+
+    enable_compile_cache()
 
     from ..serve import serve
 
     httpd, svc = serve(args.model_dir, host=args.host, port=args.port,
                        batch_cap=args.batch_cap, warmup=not args.no_warmup,
-                       tiers=args.tiers)
+                       tiers=args.tiers, coalesce=not args.no_coalesce)
     print(f"Serving {args.model_dir} (d={svc.mc.d}, n_bars={svc.mc.n_bars}, "
           f"batch_cap={svc.batch_cap}, tiers={svc.tiers}) on "
           f"http://{args.host}:{httpd.server_address[1]}")

@@ -21,7 +21,11 @@ API:
          or {"tokens": [...], "mask": [...]} for downstream pipelines.
 
 Device work is serialized with a lock (one chip, one program); MIDI
-rendering happens outside the lock. Generators are cached per
+rendering happens outside the lock. Concurrent requests are COALESCED:
+while the device runs one call, compatible queued requests (same
+temperatures/conditioning) merge into a single padded tier call —
+continuous micro-batching, so 8 concurrent n=1 clients cost ~one tier-8
+call instead of eight tier-1 calls. Generators are cached per
 (tier, temps, conditioned); temperatures are quantized to 2 decimals and
 the cache is a bounded LRU, so arbitrary client-supplied floats cannot
 grow the compile cache without bound. Cache check-and-insert happens
@@ -32,7 +36,7 @@ from __future__ import annotations
 import base64
 import json
 import threading
-from collections import OrderedDict
+from collections import OrderedDict, deque
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional, Sequence
 
@@ -40,6 +44,19 @@ import numpy as np
 
 # generator-cache bound: tiers (3) x temp pairs x {cond, uncond}
 _MAX_CACHED_GENERATORS = 24
+
+
+class _Work:
+    """One pending /generate request inside the coalescer."""
+    __slots__ = ("key", "z", "s", "event", "out", "err")
+
+    def __init__(self, key, z, s):
+        self.key = key          # (s_temp_q, c_temp_q, conditioned)
+        self.z = z              # (n, d) rows for this request
+        self.s = s              # (n, ...) structure rows or None
+        self.event = threading.Event()
+        self.out = None         # (mask[n], tokens[n])
+        self.err = None
 
 
 def _quantize_temp(t) -> float:
@@ -62,7 +79,8 @@ class GenerationService:
 
     def __init__(self, model_dir: str, batch_cap: int = 64,
                  use_pallas: Optional[bool] = None,
-                 tiers: Optional[Sequence[int]] = None):
+                 tiers: Optional[Sequence[int]] = None,
+                 coalesce: bool = True):
         import jax
 
         from . import generate as G
@@ -85,6 +103,26 @@ class GenerationService:
         self._gens: OrderedDict = OrderedDict()
         self._lock = threading.Lock()
         self._G = G
+        # Request coalescing: while the device runs one batch, newly queued
+        # compatible requests accumulate and dispatch as ONE padded tier
+        # call (continuous micro-batching) instead of one tier-1 call each.
+        # Deterministic (temp 0) outputs are row-independent (eval-mode BN),
+        # so a coalesced request returns bit-identical results to a solo
+        # call; stochastic requests share the call's sampling key, so their
+        # noise depends on batch composition (documented, temp>0 only).
+        self.coalesce = bool(coalesce)
+        # observability: device_calls counts compiled-batch launches,
+        # coalesced_requests counts requests that shared a launch
+        self.stats = {"device_calls": 0, "requests": 0,
+                      "coalesced_requests": 0}
+        self._pending: deque = deque()
+        self._pending_cv = threading.Condition()
+        self._dispatcher: Optional[threading.Thread] = None
+        if self.coalesce:
+            self._dispatcher = threading.Thread(
+                target=self._dispatch_loop, daemon=True,
+                name="poly-serve-dispatch")
+            self._dispatcher.start()
 
     def tier_for(self, n: int) -> int:
         for t in self.tiers:
@@ -123,29 +161,86 @@ class GenerationService:
     def generate(self, n: int, seed: int = 0, structure=None,
                  structure_temp: float = 0.0, content_temp: float = 0.0):
         """Returns (mask, tokens) numpy arrays for n sequences."""
-        import jax
-
         from .generate import generate_z
 
         if not 1 <= n <= self.batch_cap:
             raise ValueError(f"n must be in [1, {self.batch_cap}]")
-        tier = self.tier_for(n)
-        # pad to the tier's fixed compiled batch; slice the outputs
         z = np.asarray(generate_z(seed, n, self.mc.d))
-        z_pad = np.zeros((tier, self.mc.d), z.dtype)
-        z_pad[:n] = z
         cond = structure is not None
+        s_rows = None
         if cond:
             s = self._G.load_structure_array(
                 np.asarray(structure, dtype=bool), self.mc.n_bars,
                 self.mc.n_tracks, self.mc.n_timesteps)
-            s_b = np.broadcast_to(s, (tier,) + s.shape)
+            s_rows = np.broadcast_to(s, (n,) + s.shape)
+        key = (_quantize_temp(structure_temp), _quantize_temp(content_temp),
+               cond)
+        if not self.coalesce:
+            return self._run_batch(key, z, s_rows, [n])[0]
+        work = _Work(key, z, s_rows)
+        with self._pending_cv:
+            self._pending.append(work)
+            self._pending_cv.notify()
+        work.event.wait()
+        if work.err is not None:
+            raise work.err
+        return work.out
+
+    def _run_batch(self, key, z_rows, s_rows, sizes):
+        """Pad z_rows to the smallest tier, run one device call, split the
+        outputs back into per-request (mask, tokens) chunks of `sizes`."""
+        n_total = z_rows.shape[0]
+        tier = self.tier_for(n_total)
+        z_pad = np.zeros((tier,) + z_rows.shape[1:], z_rows.dtype)
+        z_pad[:n_total] = z_rows
+        if key[2]:  # conditioned: pad structure rows by repeating the last
+            s_pad = np.concatenate(
+                [s_rows] + [s_rows[-1:]] * (tier - n_total), axis=0)
         with self._lock:
-            gen = self._generator_locked(tier, structure_temp, content_temp,
-                                         cond)
-            out = gen(z_pad, s_b) if cond else gen(z_pad)
+            gen = self._generator_locked(tier, key[0], key[1], key[2])
+            out = gen(z_pad, s_pad) if key[2] else gen(z_pad)
             mask, tokens = (np.asarray(out[0]), np.asarray(out[1]))
-        return mask[:n], tokens[:n]
+            self.stats["device_calls"] += 1
+            self.stats["requests"] += len(sizes)
+            if len(sizes) > 1:
+                self.stats["coalesced_requests"] += len(sizes)
+        res, off = [], 0
+        for sz in sizes:
+            res.append((mask[off:off + sz], tokens[off:off + sz]))
+            off += sz
+        return res
+
+    def _dispatch_loop(self):
+        """Continuous micro-batching: drain the longest compatible FIFO
+        prefix of pending requests into one tier call. No artificial delay —
+        batching emerges while the device is busy with the previous call."""
+        while True:
+            with self._pending_cv:
+                while not self._pending:
+                    self._pending_cv.wait()
+                batch = [self._pending.popleft()]
+                rows = batch[0].z.shape[0]
+                while (self._pending
+                       and self._pending[0].key == batch[0].key
+                       and rows + self._pending[0].z.shape[0]
+                       <= self.batch_cap):
+                    w = self._pending.popleft()
+                    batch.append(w)
+                    rows += w.z.shape[0]
+            try:
+                z = np.concatenate([w.z for w in batch], axis=0)
+                s = (np.concatenate([w.s for w in batch], axis=0)
+                     if batch[0].key[2] else None)
+                outs = self._run_batch(batch[0].key, z, s,
+                                       [w.z.shape[0] for w in batch])
+                for w, o in zip(batch, outs):
+                    w.out = o
+            except BaseException as e:  # propagate to every waiter
+                for w in batch:
+                    w.err = e
+            finally:
+                for w in batch:
+                    w.event.set()
 
     def render_midi(self, mask: np.ndarray, tokens: np.ndarray) -> bytes:
         from .midi.fast_render import render_midi_bytes
@@ -177,6 +272,7 @@ def make_handler(svc: GenerationService):
                     "status": "ok", "model": svc.model_dir,
                     "n_bars": svc.mc.n_bars, "d": svc.mc.d,
                     "batch_cap": svc.batch_cap, "tiers": svc.tiers,
+                    "coalesce": svc.coalesce, "stats": dict(svc.stats),
                 })
             else:
                 self._send(404, {"error": "unknown path"})
@@ -212,10 +308,11 @@ def make_handler(svc: GenerationService):
 
 def serve(model_dir: str, host: str = "127.0.0.1", port: int = 8000,
           batch_cap: int = 64, warmup: bool = True,
-          tiers: Optional[Sequence[int]] = None):
+          tiers: Optional[Sequence[int]] = None, coalesce: bool = True):
     """Blocking server entry point; returns the (started) server object
     when called with port=0 in tests (caller handles serve_forever)."""
-    svc = GenerationService(model_dir, batch_cap=batch_cap, tiers=tiers)
+    svc = GenerationService(model_dir, batch_cap=batch_cap, tiers=tiers,
+                            coalesce=coalesce)
     if warmup:
         svc.warmup()
     httpd = ThreadingHTTPServer((host, port), make_handler(svc))

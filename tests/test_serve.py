@@ -110,3 +110,71 @@ def test_tiers_must_be_positive(tmp_path_factory):
     model_dir = save_native_model(tmp_path_factory.mktemp("srv_tiers"))
     with pytest.raises(ValueError, match="tiers must be >= 1"):
         GenerationService(model_dir, batch_cap=4, tiers=[0, 4])
+
+
+@pytest.fixture(scope="module")
+def big_service(tmp_path_factory):
+    from polyphemus_tpu.serve import GenerationService
+
+    model_dir = save_native_model(tmp_path_factory.mktemp("srv_big"))
+    svc = GenerationService(model_dir, batch_cap=32, tiers=[1, 8, 32])
+    svc.warmup()
+    return svc
+
+
+def test_coalescer_merges_queued_requests_into_one_call(big_service):
+    """Deterministic coalescing check: pre-load the queue, wake the
+    dispatcher once, and the whole compatible prefix must run as a single
+    device call whose per-request outputs bit-match solo calls."""
+    import threading
+
+    from polyphemus_tpu import serve as S
+    from polyphemus_tpu.generate import generate_z
+
+    svc = big_service
+    solo = {seed: svc.generate(1, seed=seed) for seed in (10, 11, 12, 13)}
+    key = (0.0, 0.0, False)
+    works = [S._Work(key, np.asarray(generate_z(seed, 1, svc.mc.d)), None)
+             for seed in (10, 11, 12, 13)]
+    calls_before = svc.stats["device_calls"]
+    # stall the dispatcher behind the condition lock while enqueueing all
+    with svc._pending_cv:
+        svc._pending.extend(works)
+        svc._pending_cv.notify()
+    for w in works:
+        assert w.event.wait(120) and w.err is None
+    assert svc.stats["device_calls"] == calls_before + 1  # ONE tier call
+    for w, seed in zip(works, (10, 11, 12, 13)):
+        np.testing.assert_array_equal(w.out[0], solo[seed][0])
+        np.testing.assert_array_equal(w.out[1], solo[seed][1])
+
+
+def test_concurrent_mixed_tier_clients(big_service):
+    """>=8 concurrent clients with mixed n: every response matches the
+    sequential same-seed result exactly (no cross-request bleed), and
+    under contention at least some requests coalesce."""
+    import concurrent.futures as cf
+
+    svc = big_service
+    jobs = [(1, 100), (3, 101), (1, 102), (20, 103), (1, 104),
+            (3, 105), (1, 106), (1, 107), (8, 108), (1, 109)]
+    expected = {seed: svc.generate(n, seed=seed) for n, seed in jobs}
+    with cf.ThreadPoolExecutor(len(jobs)) as ex:
+        futs = {seed: ex.submit(svc.generate, n, seed=seed)
+                for n, seed in jobs}
+        got = {seed: f.result(timeout=240) for seed, f in futs.items()}
+    for n, seed in jobs:
+        mask, toks = got[seed]
+        assert mask.shape[0] == n and toks.shape[0] == n
+        np.testing.assert_array_equal(mask, expected[seed][0])
+        np.testing.assert_array_equal(toks, expected[seed][1])
+
+
+def test_coalesce_off_still_serves(tmp_path_factory):
+    from polyphemus_tpu.serve import GenerationService
+
+    model_dir = save_native_model(tmp_path_factory.mktemp("srv_nc"))
+    svc = GenerationService(model_dir, batch_cap=4, coalesce=False)
+    mask, toks = svc.generate(2, seed=1)
+    assert mask.shape[0] == 2 and toks.shape[0] == 2
+    assert svc._dispatcher is None
