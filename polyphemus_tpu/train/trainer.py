@@ -497,6 +497,19 @@ class Trainer:
             self.val_accuracies[k].append(v)
         self.log(f"Val losses: {val_losses}")
         self.log(f"Val accuracies: {val_accs}")
+        if self._jsonl_path is not None and val_losses:
+            rec = {"batch": self.tot_batches, "epoch": self.cur_epoch}
+            rec.update({f"val_loss/{k}": v for k, v in val_losses.items()})
+            rec.update({f"val_acc/{k}": v for k, v in val_accs.items()})
+            os.makedirs(self.model_dir, exist_ok=True)
+            with open(self._jsonl_path, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+        if self._tb is not None:
+            for k, v in val_losses.items():
+                self._tb.add_scalar(f"val_loss/{k}", v, self.tot_batches)
+            for k, v in val_accs.items():
+                self._tb.add_scalar(f"val_acc/{k}", v, self.tot_batches)
+            self._tb.flush()
         if val_losses.get("tot", float("inf")) < self.min_val_loss:
             self.log("Validation loss improved; saving best model.")
             self.min_val_loss = val_losses["tot"]
