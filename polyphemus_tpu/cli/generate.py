@@ -51,6 +51,10 @@ def main(argv=None):
                         "argmax).")
     args = p.parse_args(argv)
 
+    from ..utils import enable_compile_cache
+
+    enable_compile_cache()
+
     gen_cfg = GenerationConfig.load(args.gen_config)
 
     print(f"Loading the model from {args.model_dir}...")

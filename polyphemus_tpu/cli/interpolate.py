@@ -40,6 +40,10 @@ def main(argv=None):
     p.add_argument("--slerp", action="store_true", default=False)
     args = p.parse_args(argv)
 
+    from ..utils import enable_compile_cache
+
+    enable_compile_cache()
+
     model, variables, cfg = G.load_model(args.model_dir)
     mc = cfg.model
 

@@ -35,6 +35,10 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
+    from ..utils import enable_compile_cache
+
+    enable_compile_cache()
+
     model, variables, cfg = G.load_model(args.model_dir)
     mc = cfg.model
     gen_cfg = GenerationConfig()

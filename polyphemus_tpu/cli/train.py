@@ -50,6 +50,9 @@ def main(argv=None):
                    help="Directory for a jax.profiler trace of steps 10-15.")
     args = p.parse_args(argv)
 
+    from ..utils import enable_compile_cache
+
+    enable_compile_cache()
     cfg = load_train_config(args.config_file)
     mc = cfg.model
 

@@ -24,6 +24,20 @@ def set_seed(seed: int) -> None:
     os.environ["PYTHONHASHSEED"] = str(seed)
 
 
+def enable_compile_cache(default_dir: str = "~/.cache/polyphemus_jax") -> None:
+    """Persistent XLA compilation cache. The flagship train graph takes
+    minutes to compile through the TPU tunnel; with the cache, re-entering
+    a run (--resume, chunked long runs, repeated benches) pays ~seconds.
+    POLY_COMPILE_CACHE overrides the location; set it to "" to disable."""
+    cache_dir = os.environ.get("POLY_COMPILE_CACHE",
+                               os.path.expanduser(default_dir))
+    if not cache_dir:
+        return
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def param_count(tree) -> int:
     return sum(int(np.prod(x.shape))
                for x in jax.tree_util.tree_leaves(tree))
