@@ -290,6 +290,9 @@ class Trainer:
         # steps even when print/eval/save boundaries are sparse.
         self._pending: list = []
         self._max_pending = 50
+        # async checkpoint machinery (single-process path of _save)
+        self._saver = ckpt.AsyncSaver()
+        self._snap_jit = None
 
     # ------------------------------------------------------------------ setup
     def make_device_put(self):
@@ -378,7 +381,7 @@ class Trainer:
                     state = self._maybe_eval_and_save(state, valid_iter_fn,
                                                       rng)
                 if self.save_every > 0 and n % self.save_every == 0:
-                    self._save(state, "checkpoint")
+                    self._save(state, "checkpoint", blocking=False)
                 if early_exit is not None and n > early_exit:
                     stop = True
                     break
@@ -513,29 +516,47 @@ class Trainer:
         if val_losses.get("tot", float("inf")) < self.min_val_loss:
             self.log("Validation loss improved; saving best model.")
             self.min_val_loss = val_losses["tot"]
-            self._save(state, "best_model")
+            self._save(state, "best_model", blocking=False)
         return state
 
-    def _save(self, state, name):
-        # Materializing a multi-host-sharded state is a COLLECTIVE: every
-        # process must take part in the allgather BEFORE the primary-only
-        # gate, or process 0's device_get would hit non-addressable shards
-        # (tensor parallel spanning hosts) and raise / deadlock.
-        state = _host_replicated_state(state)
-        if not self.is_primary:
-            return
+    def _save(self, state, name, blocking: bool = True):
         meta = {
             "epoch": self.cur_epoch,
             "tot_batches": self.tot_batches,
             "min_val_loss": self.min_val_loss,
-            "lrs": self.lrs,
-            "betas": self.betas,
-            "tr_losses": dict(self.tr_losses),
-            "tr_accuracies": dict(self.tr_accuracies),
-            "val_losses": dict(self.val_losses),
-            "val_accuracies": dict(self.val_accuracies),
+            # copy the histories: the async worker serializes them after
+            # this method returns, while the loop keeps appending
+            "lrs": list(self.lrs),
+            "betas": list(self.betas),
+            "tr_losses": {k: list(v) for k, v in self.tr_losses.items()},
+            "tr_accuracies": {k: list(v)
+                              for k, v in self.tr_accuracies.items()},
+            "val_losses": {k: list(v) for k, v in self.val_losses.items()},
+            "val_accuracies": {k: list(v)
+                               for k, v in self.val_accuracies.items()},
         }
-        ckpt.save_checkpoint(self.model_dir, name, state, meta)
+        if jax.process_count() > 1:
+            # Materializing a multi-host-sharded state is a COLLECTIVE:
+            # every process must take part in the allgather BEFORE the
+            # primary-only gate, or process 0's device_get would hit
+            # non-addressable shards (tensor parallel spanning hosts) and
+            # raise / deadlock. Keep this path synchronous — a background
+            # thread must not run collectives against the live step.
+            state = _host_replicated_state(state)
+            if not self.is_primary:
+                return
+            ckpt.save_checkpoint(self.model_dir, name, state, meta)
+            return
+        # Single process: snapshot on device (identity jit => fresh output
+        # buffers, immune to the train step's donation of the live state),
+        # then let the AsyncSaver overlap transfer+encode+write with
+        # training. Blocking saves (final save, direct calls) just drain.
+        if self._snap_jit is None:
+            self._snap_jit = jax.jit(lambda s: s)
+        snap = self._snap_jit(state)
+        self._saver.submit(snap, self.model_dir, name, meta)
+        if blocking:
+            self._saver.wait()
 
     def _print_stats(self, epoch, epochs, start):
         k = self.print_every

@@ -102,6 +102,49 @@ def test_checkpoint_roundtrip_and_resume(tmp_path):
     assert float(l1["tot"]) == pytest.approx(float(l2["tot"]), rel=1e-6)
 
 
+def test_async_save_survives_donation(tmp_path):
+    """AsyncSaver writes the state AS OF the snapshot even while the
+    donating train step recycles the live buffers underneath it."""
+    model = VAE(SMALL.model)
+    rng = np.random.default_rng(2)
+    toks, mask = _reconstruction_batch(rng, 4, SMALL)
+    state = create_train_state(model, SMALL, jax.random.key(0), toks, mask)
+    step = jax.jit(make_train_step(model, SMALL, make_optimizer(SMALL)),
+                   donate_argnums=(0,))
+
+    ref_params = jax.device_get(state.params)
+    snap = jax.jit(lambda s: s)(state)
+    saver = ckpt.AsyncSaver()
+    saver.submit(snap, str(tmp_path), "checkpoint", {"tot_batches": 3})
+    for i in range(3):  # donation recycles state's buffers while in flight
+        state, _, _ = step(state, toks, mask, jax.random.key(i))
+    saver.wait()
+
+    template = create_train_state(model, SMALL, jax.random.key(9), toks,
+                                  mask)
+    restored, meta = ckpt.load_checkpoint(str(tmp_path), "checkpoint",
+                                          template)
+    assert meta["tot_batches"] == 3
+    for a, b in zip(jax.tree_util.tree_leaves(ref_params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # and the snapshot is stale: live params have moved on
+    live = jax.device_get(state.params)
+    moved = any(not np.array_equal(np.asarray(a), np.asarray(b))
+                for a, b in zip(jax.tree_util.tree_leaves(ref_params),
+                                jax.tree_util.tree_leaves(live)))
+    assert moved
+
+
+def test_async_save_error_propagates(tmp_path):
+    blocker = tmp_path / "not_a_dir"
+    blocker.write_text("file occupying the model_dir path")
+    saver = ckpt.AsyncSaver()
+    saver.submit({"x": np.zeros(3)}, str(blocker), "checkpoint", {})
+    with pytest.raises(RuntimeError, match="async checkpoint save failed"):
+        saver.wait()
+
+
 @pytest.mark.parametrize("model_axis", [1, 2, 4])
 def test_multichip_train_step(model_axis):
     assert jax.device_count() >= 8, "conftest must fake 8 CPU devices"
