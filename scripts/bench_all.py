@@ -30,8 +30,8 @@ import time
 # validate stage args BEFORE the jax import / TPU-tunnel wait: a typo must
 # fail fast, not after minutes of backend setup (and an empty run must not
 # silently rewrite bench_report.json)
-_KNOWN_STAGES = {"gen", "lmd16", "serve", "train"}
-STAGES = set(sys.argv[1:]) or {"gen", "serve", "train"}
+_KNOWN_STAGES = {"gen", "lmd16", "serve", "train", "numerics"}
+STAGES = set(sys.argv[1:]) or {"gen", "serve", "train", "numerics"}
 _bad = STAGES - _KNOWN_STAGES
 if _bad:
     sys.exit(f"unknown stage(s) {sorted(_bad)}; choose from "
@@ -304,6 +304,112 @@ if "train" in STAGES:
     report["train_seq_s_bf16"] = round(256 / dt_bf, 1)
     report["train_mfu_pct_bf16"] = round(
         F.mfu(256 / dt_bf, F.train_step_flops_per_seq(mcfg_tr)), 1)
+
+if "numerics" in STAGES and PALLAS:
+    # On-hardware Pallas-vs-XLA numerical check (VERDICT r3 item 3). The
+    # CPU suite only exercises interpret mode; Mosaic-compiled kernels can
+    # miscompile in ways interpret mode can't see, so every bench run now
+    # records (and BOUNDS) the deviation at the shipped tile sizes:
+    # forward = the eval kernel at gcl_bars_per_block=8 chained 8 layers
+    # (flagship depth, error compounds through the chain); backward = the
+    # training custom_vjp's hand-written kernels via jax.grad. A breach
+    # crashes the bench.
+    from polyphemus_tpu.ops import lattice as _lat
+    from polyphemus_tpu.ops.kernels import gcl_pallas as _gp
+
+    # bounds = ~3x the round-4 on-hardware measurement (fwd 1.2e-2 bf16 /
+    # 7.9e-3 f32 — both paths' fp32 matmuls are bf16-rounded on the MXU,
+    # so "f32" deviation is accumulation-order noise, not kernel error;
+    # bwd 7.4e-3 / 4.6e-3). A real miscompile produces O(1) errors.
+    _TOL = {"fwd_bf16": 4e-2, "fwd_f32": 2.5e-2,
+            "bwd_bf16": 2.5e-2, "bwd_f32": 1.5e-2}
+
+    def _rel(a, b):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        return float(np.max(np.abs(a - b)) / max(np.max(np.abs(b)), 1e-9))
+
+    _rng = np.random.default_rng(0)
+    T_, S_, D_, NL = 4, 32, 512, 8
+    _mask = _rng.random((256, 2, T_, S_)) < 0.15
+    _mask[..., 0, 0] = True
+    _x0 = (_rng.standard_normal((256, 2, T_, S_, D_)).astype(np.float32)
+           * _mask[..., None])
+    _gate = _rng.standard_normal((S_, D_)).astype(np.float32)
+    _relw = (_rng.standard_normal((NL, 6, D_, D_)) * D_ ** -0.5
+             ).astype(np.float32)
+    _root = (_rng.standard_normal((NL, D_, D_)) * D_ ** -0.5
+             ).astype(np.float32)
+    _bias = (_rng.standard_normal((NL, D_)) * 0.1).astype(np.float32)
+    _mj = jnp.asarray(_mask)
+
+    def _fwd_xla(x, dt):
+        x = x.astype(dt)
+        nbr = _lat.build_neighbors(_mj)
+        for i in range(NL):
+            x = jax.nn.relu(_lat.gcl_apply(
+                x, _mj, nbr, jnp.asarray(_gate, dt),
+                jnp.asarray(_relw[i], dt), jnp.asarray(_root[i], dt),
+                jnp.asarray(_bias[i], dt)))
+        return x
+
+    def _fwd_pal(x, dt):
+        x = x.astype(dt)
+        aux = _gp.build_kernel_aux(_mj)
+        for i in range(NL):
+            wbig = _gp.pack_weights(jnp.asarray(_relw[i], dt),
+                                    jnp.asarray(_root[i], dt), T_, dt)
+            x = jax.nn.relu(_gp.gcl_apply_pallas(
+                x, aux, jnp.asarray(_gate, dt), wbig,
+                jnp.asarray(_bias[i], dt), bars_per_block=8,
+                interpret=False))
+        return x
+
+    # backward at a reduced batch (64) bounds the fresh grad-graph compile
+    # inside the sandbox cap; the training kernels' internal tile sizes
+    # depend on bars-per-block, not batch, so the shipped tiles still run
+    _mask_b = jnp.asarray(_mask[:64])
+    _x0_b = _x0[:64]
+    _cot = _rng.standard_normal(_x0_b.shape).astype(np.float32)
+
+    def _loss_xla(x, gate, rw, rt, bs, dt):
+        nbr = _lat.build_neighbors(_mask_b)
+        out = _lat.gcl_apply(x.astype(dt), _mask_b, nbr, gate.astype(dt),
+                             rw.astype(dt), rt.astype(dt), bs.astype(dt))
+        return jnp.sum(out.astype(jnp.float32) * _cot)
+
+    def _loss_pal(x, gate, rw, rt, bs, dt):
+        aux = _gp.build_kernel_aux(_mask_b)
+        out = _gp.gcl_fused(x.astype(dt), gate.astype(dt), rw.astype(dt),
+                            rt.astype(dt), bs.astype(dt), aux, _mask_b)
+        return jnp.sum(out.astype(jnp.float32) * _cot)
+
+    _xj = jnp.asarray(_x0)
+    for dt_name, dt in (("bf16", jnp.bfloat16), ("f32", jnp.float32)):
+        ox = jax.jit(_fwd_xla, static_argnums=1)(_xj, dt)
+        op = jax.jit(_fwd_pal, static_argnums=1)(_xj, dt)
+        err = _rel(op, ox)
+        report[f"pallas_fwd_rel_err_{dt_name}"] = round(err, 6)
+        assert err <= _TOL[f"fwd_{dt_name}"], (
+            f"Pallas forward {dt_name} rel_err {err} exceeds "
+            f"{_TOL[f'fwd_{dt_name}']} — hardware-side kernel deviation")
+
+        args = (jnp.asarray(_x0_b), jnp.asarray(_gate),
+                jnp.asarray(_relw[0]), jnp.asarray(_root[0]),
+                jnp.asarray(_bias[0]))
+        gx = jax.jit(jax.grad(_loss_xla, argnums=(0, 1, 2, 3, 4)),
+                     static_argnums=5)(*args, dt)
+        gp_ = jax.jit(jax.grad(_loss_pal, argnums=(0, 1, 2, 3, 4)),
+                      static_argnums=5)(*args, dt)
+        errs = [_rel(a, b) for a, b in zip(gp_, gx)]
+        err = max(errs)
+        report[f"pallas_bwd_rel_err_{dt_name}"] = round(err, 6)
+        report[f"pallas_bwd_rel_err_{dt_name}_per_arg"] = [
+            round(e, 6) for e in errs]  # dx, dgate, drel, droot, dbias
+        assert err <= _TOL[f"bwd_{dt_name}"], (
+            f"Pallas backward {dt_name} rel_err {err} exceeds "
+            f"{_TOL[f'bwd_{dt_name}']} — hardware-side kernel deviation")
+    checkpoint("numerics")
 
 print(json.dumps(report, indent=2))
 checkpoint("final")
