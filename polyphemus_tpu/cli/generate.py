@@ -42,7 +42,10 @@ def main(argv=None):
     p.add_argument("--no_pallas", action="store_true", default=False,
                    help="Disable the fused TPU kernel (use plain XLA).")
     p.add_argument("--bf16", action="store_true", default=False,
-                   help="bfloat16 decode (faster; ~1%% token deviation).")
+                   help="bfloat16 decode (faster; measured vs fp32 at "
+                        "n=256 random-init flagship: 0.09%% structure-cell "
+                        "flips, 4.0%% note-multiset diff — bench_report "
+                        "bf16_* keys).")
     p.add_argument("--s_temp", type=float, default=0.0,
                    help="Structure sampling temperature (0 = reference "
                         "hard threshold).")

@@ -96,11 +96,14 @@ def make_generator(model: VAE, variables, *, conditioned: bool = False,
     return_logits): mask (B, nb, T, S) bool, tokens (B, nb, T, S, 15, 2)
     int32 argmax ids at every cell (callers apply the mask).
 
-    bf16=True runs the decode in bfloat16 (~2x MXU throughput; argmax token
-    ids are usually identical, but structure cells with sigmoid near the 0.5
-    threshold may flip — keep fp32 when bit-parity with the reference
-    matters). pallas=True uses the fused VMEM GCL kernel (fastest; same
-    MXU-rounding class of deviation).
+    bf16=True runs the decode in bfloat16 (~2x MXU throughput). Measured
+    deviation vs fp32 (bench_all numerics stage, n=256 flagship shape,
+    random-init weights — a near-worst case, sigmoids hover near the 0.5
+    threshold): 0.09% of structure cells flip and 4.0% of decoded notes
+    differ as a multiset (bench_report bf16_structure_flip_rate /
+    bf16_note_multiset_diff_rate). Keep fp32 when parity with the
+    reference matters. pallas=True uses the fused VMEM GCL kernel
+    (fastest; same MXU-rounding class of deviation).
     """
     if pallas:
         model = with_pallas(model)
