@@ -253,6 +253,54 @@ if "serve" in STAGES:
             float(np.percentile(lat, 95)), 3)
     checkpoint("serve_tiers")
 
+    # concurrent mixed-tier throughput (VERDICT r3 item 7): 8 client
+    # threads hammer the coalescing GenerationService with n in {1,3,20}
+    # for a fixed wall window; rps/seq_s measured at the service layer
+    # (the HTTP frame adds ~1 ms, covered by tests/test_serve.py).
+    import tempfile
+    import threading as _th
+
+    from flax import serialization as _ser
+
+    from polyphemus_tpu.config import save_train_config
+    from polyphemus_tpu.serve import GenerationService
+
+    _srv_dir = os.path.join(tempfile.gettempdir(), "bench_srv_model")
+    os.makedirs(_srv_dir, exist_ok=True)
+    with open(os.path.join(_srv_dir, "checkpoint.msgpack"), "wb") as f:
+        f.write(_ser.to_bytes({"params": vars2["params"],
+                               "batch_stats": vars2["batch_stats"]}))
+    save_train_config(TrainConfig(model=cfg2),
+                      os.path.join(_srv_dir, "config.json"))
+    svc = GenerationService(_srv_dir, batch_cap=64, tiers=[1, 8, 64],
+                            use_pallas=PALLAS)
+    svc.warmup(all_tiers=True)
+
+    _stop = time.perf_counter() + 15.0
+    _counts = [0] * 8
+    _seqs = [0] * 8
+
+    def _client(i):
+        sizes = [1, 1, 1, 1, 3, 3, 20, 20]
+        n = sizes[i]
+        while time.perf_counter() < _stop:
+            svc.generate(n, seed=i * 1000 + _counts[i])
+            _counts[i] += 1
+            _seqs[i] += n
+
+    threads = [_th.Thread(target=_client, args=(i,)) for i in range(8)]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    dt = time.perf_counter() - t0
+    report["serve_throughput_rps"] = round(sum(_counts) / dt, 2)
+    report["serve_throughput_seq_s"] = round(sum(_seqs) / dt, 1)
+    report["serve_coalesce_ratio"] = round(
+        svc.stats["requests"] / max(svc.stats["device_calls"], 1), 2)
+    checkpoint("serve_concurrent")
+
 
 # 5. training step (fused Pallas kernels; accumulate to fit HBM)
 import dataclasses
