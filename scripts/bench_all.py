@@ -51,8 +51,9 @@ import numpy as np
 
 from polyphemus_tpu.config import ModelConfig, TrainConfig
 from polyphemus_tpu.data.dataset import synthetic_batch
-from polyphemus_tpu.generate import (load_structure_file, make_generator,
-                                     song_from_tokens)
+from polyphemus_tpu.generate import (as_bf16, load_structure_file,
+                                     make_generator, song_from_tokens,
+                                     with_pallas)
 from polyphemus_tpu.midi.song import loop_song
 from polyphemus_tpu.models import VAE
 from polyphemus_tpu.train.trainer import (create_train_state, make_optimizer,
@@ -234,6 +235,44 @@ if "gen" in STAGES or "lmd16" in STAGES:
     report["lmd16_loop4_render_ms"] = round(
         (time.perf_counter() - t0) * 1e3, 2)
     checkpoint("lmd16")
+
+    # chained device-compute at batch 256 (VERDICT r3 item 5): the same
+    # dispatch-free methodology as lmd2_chained_*. Batch 256 beats the
+    # legacy n=64 point by ~11% (round-4 sweep: 64->1490, 128->1559,
+    # 256->1655 seq/s per-call; tile points 4..16 GCL x 8/16 tail all
+    # within 1%, so batch size — not tiles — is the 16-bar lever).
+    model16_ch = with_pallas(model16) if PALLAS else model16
+
+    def chained16_fn(variables, cast):
+        def chained(zs):
+            def body(carry, z):
+                _s, tokens, mask = model16_ch.apply(
+                    variables, cast(z), method=VAE.decode_tokens)
+                return carry + jnp.sum(tokens) + jnp.sum(mask), None
+            acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.int32), zs)
+            return acc
+        return jax.jit(chained)
+
+    zs16 = jax.random.normal(jax.random.key(6), (10, 256, cfg16.d))
+    vars16_bf = as_bf16(vars16)
+    for suffix, variables, cast in (
+            ("", vars16, lambda z: z),
+            ("_bf16", vars16_bf, lambda z: z.astype(jnp.bfloat16))):
+        ch = chained16_fn(variables, cast)
+        float(ch(zs16))  # compile + warm
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(ch(zs16))
+            times.append((time.perf_counter() - t0) / 10)
+        dt = float(np.median(times))
+        report.setdefault("spread", {})[
+            f"lmd16_chained_n256_seq_s{suffix}"] = round(
+            (max(times) - min(times)) / dt, 3)
+        report[f"lmd16_chained_n256_seq_s{suffix}"] = round(256 / dt, 1)
+        report[f"lmd16_gen_device_mfu_pct{suffix}"] = round(
+            F.mfu(256 / dt, F.generation_flops_per_seq(cfg16)), 1)
+    checkpoint("lmd16_chained")
 
 # 6. serving latency tiers: per-request wall time at each compiled tier
 # batch size (serve.py routes n to the smallest tier >= n); p50/p95 over
