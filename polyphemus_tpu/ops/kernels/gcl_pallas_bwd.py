@@ -110,36 +110,43 @@ def _bwd_data_kernel(aux_ref, x_ref, g_ref, gates_ref, wbig_ref,
         return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
                                    preferred_element_type=F32)
 
+    # ---- bar-batched dH dots (round 4): one (bb*n, d) @ (d, 4d) for the
+    # four shared relation blocks and one (bb*S, d) @ (d, d) per track,
+    # instead of per-bar M=n / M=S dots that under-fill the MXU.
+    ms = [(aux_ref[b, MASK_CH][:, None] > 0).astype(cdt)
+          for b in range(bars_per_block)]
+    gs = [g_ref[b] * ms[b] for b in range(bars_per_block)]
+    gall = jnp.concatenate(gs, axis=0)  # (bb*n, d), masked
+    dh4_all = jax.lax.dot_general(
+        gall, wbig[n_tracks * d:], (((1,), (1,)), ((), ())),
+        preferred_element_type=F32)  # (bb*n, 4d) f32
+    # Track rows are contiguous (cell i = t*S + s); stack each track's
+    # 32-row slices across bars for the per-track weight blocks.
+    dht = [jax.lax.dot_general(
+        jnp.concatenate([g[t * n_steps:(t + 1) * n_steps] for g in gs],
+                        axis=0),
+        wbig[t * d:(t + 1) * d],
+        (((1,), (1,)), ((), ())), preferred_element_type=F32)
+        for t in range(n_tracks)]  # each (bb*S, d) f32
+    dbias_ref[...] += jnp.sum(gall.astype(F32), axis=0,
+                              keepdims=True).astype(dbias_ref.dtype)
+
     for b in range(bars_per_block):
         (ch, ch_row, sel, sel_t, seld, seld_t, recip, a_col) = _common(
             aux_ref, b, n, n_steps, cdt)
         x = x_ref[b]
-        m = (ch(MASK_CH) > 0).astype(cdt)
-        g = g_ref[b] * m
+        m = ms[b]
+        g = gs[b]
 
-        # dH for the four shared relation blocks [self|onset|next|root] in
-        # ONE (n, d) @ (d, 4d) dot (contraction on Wbig's output dim — no
-        # transpose materialization), split by column afterwards.
-        dh4 = jax.lax.dot_general(
-            g, wbig[n_tracks * d:], (((1,), (1,)), ((), ())),
-            preferred_element_type=F32)  # (n, 4d) f32
+        dh4 = dh4_all[b * n:(b + 1) * n]
         dh_self = dh4[:, :d]
         dh_onset = dh4[:, d:2 * d]
         dh_next = dh4[:, 2 * d:3 * d]
         dx = dh4[:, 3 * d:]  # root path, f32 accumulator
 
-        # Track rows are contiguous (cell i = t*S + s), so each track's
-        # dh needs only its 32-row slice of g — (S, d) @ (d, d) instead of
-        # four full (n, d) @ (d, d) matmuls masked by row.
-        dh_track = jnp.concatenate([
-            jax.lax.dot_general(
-                g[t * n_steps:(t + 1) * n_steps],
-                wbig[t * d:(t + 1) * d],
-                (((1,), (1,)), ((), ())), preferred_element_type=F32)
-            for t in range(n_tracks)], axis=0)  # (n, d)
-
-        dbias_ref[...] += jnp.sum(g.astype(F32), axis=0,
-                                  keepdims=True).astype(dbias_ref.dtype)
+        dh_track = jnp.concatenate(
+            [dht[t][b * n_steps:(b + 1) * n_steps]
+             for t in range(n_tracks)], axis=0)  # (n, d)
 
         # ---- stacked gather recompute: track-prev, track-next, NEXT-col
         # in one (3n, n) @ (n, d) and one (3n, S) @ (S, d); pre-activations
@@ -199,9 +206,12 @@ def _bwd_weight_kernel(aux_ref, x_ref, g_ref, gates_ref, dw_ref,
                        d: int):
     """Single pass over the bars: all eight (d, d) accumulator blocks stay
     VMEM-resident (the out block's index map is constant across the grid),
-    so x/g stream from HBM exactly once, every h is computed once per bar,
-    and the four track-relation dots use only their 32 live rows (track
-    rows are contiguous: cell i = t*S + s)."""
+    so x/g stream from HBM exactly once and every h is computed once per
+    bar. The dW contractions are BAR-BATCHED (round 4): the per-bar h's
+    stack along the contraction dim so each relation block is ONE dot with
+    K = bb*n (or bb*S for the per-track blocks) instead of bb dots with
+    K = n (or S=32, which starved the 128x128 MXU — the round-4 profile
+    showed this kernel at 2.0 ms/call vs a ~0.4 ms matmul floor)."""
     n = n_tracks * n_steps
     first_bar_block = pl.program_id(0) == 0
 
@@ -218,6 +228,7 @@ def _bwd_weight_kernel(aux_ref, x_ref, g_ref, gates_ref, dw_ref,
                                    (((0,), (0,)), ((), ())),
                                    preferred_element_type=F32)
 
+    h_trs, h_selfs, h_ons, h_nxs, gs = [], [], [], [], []
     for b in range(bars_per_block):
         (ch, ch_row, sel, sel_t, seld, seld_t, recip, a_col) = _common(
             aux_ref, b, n, n_steps, cdt)
@@ -241,35 +252,38 @@ def _bwd_weight_kernel(aux_ref, x_ref, g_ref, gates_ref, dw_ref,
         msg3 = jax.nn.relu(x3 * g3)
 
         cnt_i = ok_p + ok_n
-        h_tr = (msg3[:n] + msg3[n:2 * n]) * recip(cnt_i, cnt_i > 0) * m
+        h_trs.append((msg3[:n] + msg3[n:2 * n])
+                     * recip(cnt_i, cnt_i > 0) * m)
 
         y = jax.nn.relu(x * g0) * m
 
         cnt_on_i = ch(CNT_ON)
         col_sum = jax.lax.dot(a_col, y, preferred_element_type=F32
                               ).astype(cdt)
-        h_on = (col_sum - y) * recip(cnt_on_i, cnt_on_i > 0) * m
+        h_ons.append((col_sum - y) * recip(cnt_on_i, cnt_on_i > 0) * m)
 
         z = msg3[2 * n:]
         z_sum = jax.lax.dot(a_col, z, preferred_element_type=F32
                             ).astype(cdt)
         cnt_nx_i = ch(CNT_NX)
         valid = (ch(OK_PN) > 0) & (cnt_nx_i > 0)
-        h_nx = (z_sum - z) * recip(cnt_nx_i, valid) * m
+        h_nxs.append((z_sum - z) * recip(cnt_nx_i, valid) * m)
+        h_selfs.append(y * ch(SINGLE).astype(cdt))
+        gs.append(g)
 
-        for t in range(n_tracks):
-            rows = slice(t * n_steps, (t + 1) * n_steps)
-            dw_ref[t * d:(t + 1) * d, :] += dw(h_tr[rows], g[rows]).astype(
-                dw_ref.dtype)
-        h_self = y * ch(SINGLE).astype(cdt)
-        dw_ref[n_tracks * d:(n_tracks + 1) * d, :] += dw(h_self, g).astype(
-            dw_ref.dtype)
-        dw_ref[(n_tracks + 1) * d:(n_tracks + 2) * d, :] += dw(
-            h_on, g).astype(dw_ref.dtype)
-        dw_ref[(n_tracks + 2) * d:(n_tracks + 3) * d, :] += dw(
-            h_nx, g).astype(dw_ref.dtype)
-        dw_ref[(n_tracks + 3) * d:(n_tracks + 4) * d, :] += dw(
-            x, g).astype(dw_ref.dtype)
+    gall = jnp.concatenate(gs, axis=0)  # (bb*n, d), masked
+    xall = x_ref[...].reshape(bars_per_block * n, d)
+    for t in range(n_tracks):
+        rows = slice(t * n_steps, (t + 1) * n_steps)
+        ht = jnp.concatenate([h[rows] for h in h_trs], axis=0)
+        gt = jnp.concatenate([g_[rows] for g_ in gs], axis=0)
+        dw_ref[t * d:(t + 1) * d, :] += dw(ht, gt).astype(dw_ref.dtype)
+    for i, hs in enumerate((h_selfs, h_ons, h_nxs)):
+        blk = slice((n_tracks + i) * d, (n_tracks + i + 1) * d)
+        dw_ref[blk, :] += dw(jnp.concatenate(hs, axis=0),
+                             gall).astype(dw_ref.dtype)
+    dw_ref[(n_tracks + 3) * d:(n_tracks + 4) * d, :] += dw(
+        xall, gall).astype(dw_ref.dtype)
 
 
 def _bwd_fused_kernel(aux_ref, x_ref, g_ref, gates_ref, wbig_ref,
