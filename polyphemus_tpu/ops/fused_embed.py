@@ -40,12 +40,21 @@ def embedding_stats(table, emb_bias, ids, cell_mask) -> GroupStats:
     active cell counts once, matching BN over the packed rows.
     """
     w = jnp.broadcast_to(cell_mask[..., None],
-                         ids.shape).astype(jnp.float32)[..., None]
-    g = jnp.take(table.astype(jnp.float32), ids, axis=0)  # (..., slots, h)
+                         ids.shape).astype(jnp.float32)
+    # histogram route (round 4): sum_cells table[id] = hist @ table, so the
+    # per-cell gather (TPU-serialized, and the reason the fused front lost
+    # its round-2 bench) disappears. The one-hot never materializes — XLA
+    # fuses the iota-compare into the (vocab,)-shaped reduce — and integer
+    # counts in f32 are exact, so these stats are if anything BETTER
+    # rounded than reducing a bf16 embedding tensor.
+    vocab = table.shape[0]
+    oh = jax.nn.one_hot(ids, vocab, dtype=jnp.float32)
+    axes = tuple(range(w.ndim))
+    hist = jnp.sum(oh * w[..., None], axis=axes)  # (vocab,)
     n = jnp.maximum(jnp.sum(w), 1.0)
-    axes = tuple(range(g.ndim - 1))
-    s1 = jnp.sum(g * w, axis=axes) / n
-    s2 = jnp.sum(jnp.square(g) * w, axis=axes) / n
+    t32 = table.astype(jnp.float32)
+    s1 = (hist @ t32) / n
+    s2 = (hist @ jnp.square(t32)) / n
     mean = s1 + emb_bias
     ex2 = s2 + 2.0 * emb_bias * s1 + jnp.square(emb_bias)
     var = jnp.maximum(ex2 - jnp.square(mean), 0.0)
@@ -81,8 +90,17 @@ def fused_tables(table, emb_bias, a, b, w_slot_rows):
 
 
 def gather_sum(tables, const, ids):
-    """sum_s tables[s][ids[..., s]] + const[s] -> (..., d)."""
+    """sum_s tables[s][ids[..., s]] + const[s] -> (..., d).
+
+    Lookup as a one-hot matmul per slot (round 4): tables[s][ids] ==
+    onehot(ids) @ tables[s]. The forward rides the MXU and the backward
+    (dT_s = onehot^T @ g) is a matmul too, instead of the scatter-add the
+    gather lowering produced — the same trade EmbedLinear makes
+    (models/vae.py:44-51), which is what kept the fused front slower than
+    the plain path until now."""
     out = jnp.sum(const, axis=0)
+    vocab = tables.shape[1]
     for s in range(tables.shape[0]):
-        out = out + jnp.take(tables[s], ids[..., s], axis=0)
+        oh = jax.nn.one_hot(ids[..., s], vocab, dtype=tables.dtype)
+        out = out + oh @ tables[s]
     return out
