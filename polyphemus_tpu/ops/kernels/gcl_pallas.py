@@ -323,14 +323,16 @@ def _gcl_fused_bwd(res, g):
     # Wbig + f32 dW accumulators leave no VMEM for pipelining the
     # streamed blocks, and bb=4 fails to compile. Kept for reference;
     # measurement recorded in PERFORMANCE.md.
-    # bars_per_block_w=4 for BOTH dtypes since the round-4 bar-batched
-    # weight kernel: its stacked h's at w8 push the training graph's
-    # scoped VMEM 1.9 MB over the 16 MB limit, and w4 measures within 6%
-    # of w8 standalone (bwd_probe2: 4.55 vs 4.30 ms full backward).
+    # Weight-kernel tiles shrank with the round-4 bar-batched rewrite: its
+    # stacked h's (6 x (bb*n, d) in the compute dtype) now count against
+    # the scoped VMEM stack, so the training graph fits w4 in bf16 (w8
+    # overflowed by 1.9 MB; w4 measures within 6% of w8 standalone —
+    # bwd_probe2: 4.55 vs 4.30 ms full backward) and w2 in fp32 (w4
+    # overflowed by 816 KB).
     dx, dgt, dwbig, dbias = gcl_pallas_bwd.gcl_backward_pallas(
         x, aux, gate_table.astype(x.dtype), wbig, g,
         bars_per_block_data=4 if bf16 else 2,
-        bars_per_block_w=4)
+        bars_per_block_w=4 if bf16 else 2)
     blocks = [dwbig[i * d:(i + 1) * d] for i in range(8)]
     d_rel = jnp.stack([blocks[0] + blocks[n_tracks]] + blocks[1:n_tracks]
                       + blocks[n_tracks + 1:n_tracks + 3])

@@ -4,6 +4,7 @@ The model's sequence dimension is bars (SURVEY.md §5 long-context): all
 lattice/GNN compute is per-bar independent, so for long sequences (LMD16+)
 the bar axis shards across devices like a batch axis — GSPMD only needs
 collectives at the two cross-bar Linears (bars_encoder/decoder)."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -15,6 +16,7 @@ from polyphemus_tpu.models import VAE
 from polyphemus_tpu.parallel import mesh as pmesh
 
 
+@pytest.mark.slow
 def test_bars_axis_sharded_decode_matches():
     assert jax.device_count() >= 8
     cfg = ModelConfig(d=32, gnn_n_layers=2, n_bars=16, resolution=8,

@@ -1,4 +1,5 @@
 """bf16 training policy + 16-bar (LMD16-shaped) model support."""
+import pytest
 import dataclasses
 
 import jax
@@ -16,6 +17,7 @@ SMALL = ModelConfig(d=32, gnn_n_layers=2, n_bars=2, resolution=8,
                     dropout=0.0, batch_norm=True)
 
 
+@pytest.mark.slow
 def test_bf16_train_step_finite_and_fp32_state():
     cfg = TrainConfig(batch_size=4, model=SMALL, bf16=True)
     model = VAE(SMALL)

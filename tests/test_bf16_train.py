@@ -2,6 +2,7 @@
 (fp32 master params/stats, bf16 activations+matmuls — the TPU analogue of
 the reference's CUDA AMP, /root/reference/training.py:123-164) must track
 the fp32 loss trajectory, not just run."""
+import pytest
 import dataclasses
 
 import jax
@@ -26,6 +27,7 @@ def _run(cfg, toks, mask, steps=50):
     return np.asarray(hist)
 
 
+@pytest.mark.slow
 def test_bf16_loss_tracks_fp32():
     mcfg = ModelConfig(d=32, gnn_n_layers=2, n_bars=2, resolution=8,
                        batch_norm=True)

@@ -1,4 +1,5 @@
 """Fused slot-scanned decode_tokens == argmax over the logits path."""
+import pytest
 import jax
 import numpy as np
 
@@ -11,6 +12,7 @@ CFG = ModelConfig(d=32, gnn_n_layers=2, n_bars=2, resolution=8,
                   dropout=0.0, batch_norm=True)
 
 
+@pytest.mark.slow
 def test_decode_tokens_matches_logits_argmax():
     import jax.numpy as jnp
 

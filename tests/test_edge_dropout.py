@@ -133,6 +133,7 @@ def test_edge_dropout_unbiased():
     assert np.abs(mean - clean).mean() < 0.05 * scale
 
 
+@pytest.mark.slow
 def test_model_trains_with_exact_edge_dropout():
     from polyphemus_tpu.config import ModelConfig, TrainConfig
     from polyphemus_tpu.data.dataset import synthetic_batch

@@ -36,6 +36,7 @@ def _setup(dropout, d=24, layers=1, batch=3):
     return model, cfg, state, toks, mask
 
 
+@pytest.mark.slow
 def test_fused_ce_dropout_trains_fused_and_deterministic():
     model, cfg, state, toks, mask = _setup(dropout=0.3)
     step = jax.jit(make_train_step(model, cfg, make_optimizer(cfg)))

@@ -12,6 +12,7 @@ compile cache __graft_entry__ enables. The subprocess timeout covers the
 cold case plus the parent's 90 s device-query timeout (a wedged axon tunnel
 blocks jax.devices() indefinitely; the hook now times out and respawns).
 """
+import pytest
 import os
 import re
 import subprocess
@@ -20,6 +21,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_self_provisions_virtual_mesh():
     env = dict(os.environ)
     # Strip the conftest's fake-device flag so the child sees ONE device and

@@ -1,4 +1,5 @@
 """Gradients through the fused GCL (pallas fwd / XLA bwd) match the XLA path."""
+import pytest
 import dataclasses
 
 import jax
@@ -73,6 +74,7 @@ def test_gcl_backward_fused_matches_split():
                                    rtol=5e-5, atol=5e-5, err_msg=name)
 
 
+@pytest.mark.slow
 def test_train_step_with_pallas_gcl():
     cfg = TrainConfig(
         batch_size=4,

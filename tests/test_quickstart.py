@@ -1,9 +1,11 @@
 """examples/quickstart.py runs the whole pipeline end to end (MIDI ->
 preprocess -> shards -> train -> generate) on toy data."""
+import pytest
 import importlib.util
 import os
 
 
+@pytest.mark.slow
 def test_quickstart_end_to_end(tmp_path):
     spec = importlib.util.spec_from_file_location(
         "quickstart", os.path.join(os.path.dirname(__file__), os.pardir,

@@ -49,6 +49,7 @@ def test_weight_decay_wired():
 
 
 # --------------------------------------------------------- message dropout
+@pytest.mark.slow
 def test_message_dropout_train_path():
     import jax
     import jax.numpy as jnp
@@ -179,6 +180,7 @@ def test_fastloader_rejects_wrong_dtypes(tmp_path):
 
 
 # -------------------------------------------------------- async metric drain
+@pytest.mark.slow
 def test_trainer_async_drain_and_nan_abort(tmp_path):
     import dataclasses
 
@@ -249,6 +251,7 @@ def test_schedules_host_numpy_match_jnp():
 
 
 # ----------------------------------------------------------- fused CE path
+@pytest.mark.slow
 def test_fused_ce_matches_logits_path():
     import dataclasses
 
@@ -303,6 +306,7 @@ def test_fused_ce_matches_logits_path():
 
 
 # ------------------------------------------------------------- tensorboard
+@pytest.mark.slow
 def test_trainer_tensorboard_mirror(tmp_path):
     import glob
 

@@ -47,6 +47,7 @@ def test_resume_restores_val_histories(tmp_path):
 
 
 # ------------------------------------------------------- bounded drain cadence
+@pytest.mark.slow
 def test_drain_cadence_bounded(tmp_path):
     import jax
 

@@ -1,4 +1,5 @@
 """Temperature sampling + reconstruction/interpolation CLIs."""
+import pytest
 import numpy as np
 
 from polyphemus_tpu.cli.interpolate import main as interp_main
@@ -10,6 +11,7 @@ from polyphemus_tpu.midi import Note
 from .test_generate_cli import CFG, save_native_model
 
 
+@pytest.mark.slow
 def test_temperature_sampling_varies(tmp_path):
     import jax
 

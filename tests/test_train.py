@@ -54,6 +54,7 @@ def _reconstruction_batch(rng, bs, cfg):
     return jnp.asarray(toks), jnp.asarray(mask)
 
 
+@pytest.mark.slow
 def test_training_reduces_loss():
     cfg = dataclasses.replace(
         SMALL, lr_scheduler=LRSchedulerConfig(peak_lr=5e-3, warmup_steps=1000,
@@ -79,6 +80,7 @@ def test_training_reduces_loss():
                          "dur", "s_acc", "s_precision", "s_recall", "s_f1"}
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip_and_resume(tmp_path):
     model = VAE(SMALL.model)
     rng = np.random.default_rng(1)
@@ -102,6 +104,7 @@ def test_checkpoint_roundtrip_and_resume(tmp_path):
     assert float(l1["tot"]) == pytest.approx(float(l2["tot"]), rel=1e-6)
 
 
+@pytest.mark.slow
 def test_async_save_survives_donation(tmp_path):
     """AsyncSaver writes the state AS OF the snapshot even while the
     donating train step recycles the live buffers underneath it."""
@@ -146,6 +149,7 @@ def test_async_save_error_propagates(tmp_path):
 
 
 @pytest.mark.parametrize("model_axis", [1, 2, 4])
+@pytest.mark.slow
 def test_multichip_train_step(model_axis):
     assert jax.device_count() >= 8, "conftest must fake 8 CPU devices"
     cfg = dataclasses.replace(
@@ -176,6 +180,7 @@ def test_multichip_train_step(model_axis):
                                                  rel=2e-4)
 
 
+@pytest.mark.slow
 def test_grad_accum_matches_reference_semantics():
     cfg_a = dataclasses.replace(SMALL, iters_to_accumulate=2)
     model = VAE(cfg_a.model)
@@ -188,6 +193,7 @@ def test_grad_accum_matches_reference_semantics():
     assert np.isfinite(float(losses["tot"]))
 
 
+@pytest.mark.slow
 def test_trainer_fit_smoke(tmp_path):
     mesh = pmesh.make_mesh(1)
     model = VAE(SMALL.model)

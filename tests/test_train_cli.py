@@ -4,6 +4,7 @@ import json
 import os
 
 import numpy as np
+import pytest
 
 from polyphemus_tpu.cli.stats import main as stats_main
 from polyphemus_tpu.cli.train import main as train_main
@@ -38,6 +39,7 @@ def write_config(tmp_path):
     return str(p)
 
 
+@pytest.mark.slow
 def test_train_cli_end_to_end(tmp_path):
     data = make_dataset(tmp_path)
     cfg_path = write_config(tmp_path)
