@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from . import constants
+from . import constants, utils
 from .config import GenerationConfig, TrainConfig, load_train_config
 from .midi.song import Note, Song, Track
 from .models import VAE
@@ -133,7 +133,8 @@ def make_generator(model: VAE, variables, *, conditioned: bool = False,
     # (a closure-baked key would reuse identical noise every call). The
     # deterministic (temperature 0) path ignores the key.
     base_key = jax.random.key(sample_seed)
-    jitted = jax.jit(run)
+    copts = utils.compiler_options()
+    jitted = jax.jit(run, compiler_options=copts)
     calls = iter(range(1 << 62))
 
     def next_key():
@@ -142,7 +143,8 @@ def make_generator(model: VAE, variables, *, conditioned: bool = False,
 
     if conditioned:
         return lambda z, mask: jitted(z, mask, next_key())
-    jitted_nomask = jax.jit(lambda z, key: run(z, None, key))
+    jitted_nomask = jax.jit(lambda z, key: run(z, None, key),
+                            compiler_options=copts)
     return lambda z: jitted_nomask(z, next_key())
 
 

@@ -7,6 +7,8 @@ shared by every layer of a stack, exactly like the reference
 """
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
@@ -76,6 +78,11 @@ class GCN(nn.Module):
         # one kernel per layer (eval mode only — training BN needs batch
         # statistics).
         if self.use_pallas and deterministic:
+            # sweepable eval tile (see scripts/probes/vmem_probe.py);
+            # fp32 still clamps to 4 inside gcl_apply_pallas unless the
+            # raised-VMEM budget is active
+            eval_bb = (int(os.environ.get("POLY_GCL_EVAL_BB", 0))
+                       or self.bars_per_block)
             for i in range(self.n_layers):
                 rel_weight, root, bias = GCLParams(
                     self.dim, self.dim, self.num_relations,
@@ -91,7 +98,7 @@ class GCN(nn.Module):
                 x = gcl_pallas.gcl_apply_pallas(
                     x, aux, gate_table, wbig, bias.astype(x.dtype),
                     epilogue_affine=affine,
-                    bars_per_block=self.bars_per_block)
+                    bars_per_block=eval_bb)
             return x
 
         m_f = mask[..., None].astype(x.dtype)

@@ -19,6 +19,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .gcl_pallas import _compiler_params
+
 F32 = jnp.float32
 
 
@@ -124,6 +126,7 @@ def chord_tail_tokens(x, chord_kernel, chord_bias, pk_drums, pb_drums,
         out_shape=jax.ShapeDtypeStruct((nbar + pad, n_slots, n, 2),
                                        jnp.int32),
         interpret=interpret,
+        compiler_params=_compiler_params(interpret),
     )(xf, w_slots.astype(cdt), b_slots, pkd, pbd, pkn, pbn, dkp, dbp)
 
     if pad:

@@ -23,6 +23,7 @@ gradients are tested against jax.grad of the XLA formulation.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -31,6 +32,27 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .. import lattice
+
+
+def vmem_limit_bytes() -> int | None:
+    """Optional raised Mosaic scoped-VMEM limit, from POLY_VMEM_LIMIT_MB.
+
+    Mosaic's default scoped-VMEM budget is 16 MB; the v5e core physically
+    has much more, and raising the budget admits larger bar tiles (deeper
+    grids pipeline less but each invocation fills the MXU better). A raised
+    limit must be paired with the XLA option
+    ``xla_tpu_scoped_vmem_limit_kib`` on the ENCLOSING jit (see
+    utils.compiler_options) or Mosaic refuses the kernel at compile time.
+    """
+    v = os.environ.get("POLY_VMEM_LIMIT_MB")
+    return int(v) * 2**20 if v else None
+
+
+def _compiler_params(interpret: bool):
+    lim = None if interpret else vmem_limit_bytes()
+    if lim is None:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=lim)
 
 # aux channel layout (all int32, per flat cell i = t*S + c)
 PREV_SRC, OK_P, DIST_P = 0, 1, 2
@@ -231,7 +253,9 @@ def gcl_apply_pallas(x, aux, gate_table, wbig, bias, *,
     # bf16 halves every buffer and runs the full block size (the sweep's
     # 8/16 win).
     esize = np.dtype(x.dtype).itemsize
-    cap = bars_per_block if esize <= 2 else min(bars_per_block, 4)
+    raised = not interpret and vmem_limit_bytes() is not None
+    cap = bars_per_block if (esize <= 2 or raised) \
+        else min(bars_per_block, 4)
     bb = max(1, min(cap, nbar))
     pad = (-nbar) % bb
     if pad:
@@ -269,6 +293,7 @@ def gcl_apply_pallas(x, aux, gate_table, wbig, bias, *,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nbar + pad, n, d), x.dtype),
         interpret=interpret,
+        compiler_params=_compiler_params(interpret),
         cost_estimate=pl.CostEstimate(
             flops=2 * (nbar + pad) * n * (8 * d) * d,
             bytes_accessed=(nbar + pad) * n * d * 2 * x.dtype.itemsize,
@@ -296,8 +321,12 @@ def gcl_fused(x, gate_table, rel_weight, root, bias, aux, mask):
     """
     wbig = pack_weights(rel_weight, root, mask.shape[-2], dtype=x.dtype)
     # bf16 halves every VMEM buffer: run double-size training tiles
-    # (fp32 stays at 4 — within ~1 MB of the 16 MB scoped limit already)
+    # (fp32 stays at 4 — within ~1 MB of the 16 MB scoped limit already,
+    # unless POLY_VMEM_LIMIT_MB raises the Mosaic budget)
     bb = 8 if np.dtype(x.dtype).itemsize <= 2 else 4
+    env = os.environ.get("POLY_GCL_FWD_BB")
+    if env:
+        bb = int(env)
     return gcl_apply_pallas(x, aux, gate_table, wbig, bias.astype(x.dtype),
                             bars_per_block=bb)
 
@@ -329,10 +358,12 @@ def _gcl_fused_bwd(res, g):
     # overflowed by 1.9 MB; w4 measures within 6% of w8 standalone —
     # bwd_probe2: 4.55 vs 4.30 ms full backward) and w2 in fp32 (w4
     # overflowed by 816 KB).
+    bb_d = int(os.environ.get("POLY_GCL_BWD_BB_DATA", 0)) \
+        or (4 if bf16 else 2)
+    bb_w = int(os.environ.get("POLY_GCL_BWD_BB_W", 0)) or (4 if bf16 else 2)
     dx, dgt, dwbig, dbias = gcl_pallas_bwd.gcl_backward_pallas(
         x, aux, gate_table.astype(x.dtype), wbig, g,
-        bars_per_block_data=4 if bf16 else 2,
-        bars_per_block_w=4 if bf16 else 2)
+        bars_per_block_data=bb_d, bars_per_block_w=bb_w)
     blocks = [dwbig[i * d:(i + 1) * d] for i in range(8)]
     d_rel = jnp.stack([blocks[0] + blocks[n_tracks]] + blocks[1:n_tracks]
                       + blocks[n_tracks + 1:n_tracks + 3])

@@ -43,7 +43,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .gcl_pallas import (CNT_NX, CNT_ON, DIST_N, DIST_P, DIST_PN, MASK_CH,
                          MSRC, N_AUX, NEXT_SRC, OK_N, OK_P, OK_PN, PN_SRC,
-                         PREV_SRC, SINGLE)
+                         PREV_SRC, SINGLE, _compiler_params)
 
 F32 = jnp.float32
 
@@ -479,6 +479,7 @@ def gcl_backward_fused(x, aux, gate_table, wbig, g, *,
             jax.ShapeDtypeStruct((8 * d, d), jnp.float32),
         ],
         interpret=interpret,
+        compiler_params=_compiler_params(interpret),
         cost_estimate=pl.CostEstimate(
             flops=4 * (nbar + pad) * n * (8 * d) * d,
             bytes_accessed=3 * (nbar + pad) * n * d * x.dtype.itemsize,
@@ -552,6 +553,7 @@ def gcl_backward_pallas(x, aux, gate_table, wbig, g, *,
             jax.ShapeDtypeStruct((1, d), jnp.float32),
         ],
         interpret=interpret,
+        compiler_params=_compiler_params(interpret),
     )(ap, xp, gp, gate_table, wbig)
 
     # kernel B: dWbig
@@ -578,6 +580,7 @@ def gcl_backward_pallas(x, aux, gate_table, wbig, g, *,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((8 * d, d), jnp.float32),
         interpret=interpret,
+        compiler_params=_compiler_params(interpret),
     )(ap, xp, gp, gate_table)
 
     dx = dx[:nbar].reshape(lead + (t, s, d)).astype(x.dtype)

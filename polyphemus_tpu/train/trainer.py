@@ -25,6 +25,7 @@ import numpy as np
 import optax
 from flax import struct
 
+from .. import utils
 from ..config import TrainConfig
 from ..models import VAE
 from ..parallel import mesh as pmesh
@@ -245,12 +246,14 @@ class Trainer:
         self.optimizer = make_optimizer(cfg)
 
         bsh = pmesh.batch_sharding(self.mesh)
+        copts = utils.compiler_options()
         self._train_step = jax.jit(
             make_train_step(model, cfg, self.optimizer),
             in_shardings=(None, bsh, bsh, None),
-            donate_argnums=(0,))
+            donate_argnums=(0,), compiler_options=copts)
         self._eval_step = jax.jit(make_eval_step(model, cfg),
-                                  in_shardings=(None, bsh, bsh, None))
+                                  in_shardings=(None, bsh, bsh, None),
+                                  compiler_options=copts)
 
         self._jsonl_path = (os.path.join(model_dir, "metrics.jsonl")
                             if jsonl_metrics and self.is_primary else None)

@@ -38,6 +38,27 @@ def enable_compile_cache(default_dir: str = "~/.cache/polyphemus_jax") -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+def compiler_options() -> Optional[dict]:
+    """Per-jit XLA options, or None.
+
+    When POLY_VMEM_LIMIT_MB is set (see ops.kernels.gcl_pallas.
+    vmem_limit_bytes), every jit that may inline a Pallas kernel must raise
+    XLA's scoped-VMEM budget to at least the kernel limit or Mosaic rejects
+    the kernel. Pass the result as `jax.jit(..., compiler_options=...)` —
+    the option travels inside the PJRT compile request, so it works through
+    the remote-TPU tunnel where process env flags may not propagate.
+    """
+    v = os.environ.get("POLY_VMEM_LIMIT_MB")
+    if not v:
+        return None
+    # TPU-only XLA option: the CPU/GPU compilers reject unknown options
+    # with INVALID_ARGUMENT, so never attach it off-TPU (the CPU test
+    # suite and dryrun_multichip run with the env var inherited).
+    if jax.default_backend() == "cpu":
+        return None
+    return {"xla_tpu_scoped_vmem_limit_kib": int(v) * 1024}
+
+
 def param_count(tree) -> int:
     return sum(int(np.prod(x.shape))
                for x in jax.tree_util.tree_leaves(tree))
