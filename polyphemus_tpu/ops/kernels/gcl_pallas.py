@@ -45,7 +45,8 @@ def vmem_limit_bytes() -> int | None:
     utils.compiler_options) or Mosaic refuses the kernel at compile time.
     """
     v = os.environ.get("POLY_VMEM_LIMIT_MB")
-    return int(v) * 2**20 if v else None
+    lim = int(v) if v else 0
+    return lim * 2**20 or None  # "0" disables, same as unset
 
 
 def _compiler_params(interpret: bool):

@@ -49,14 +49,23 @@ def compiler_options() -> Optional[dict]:
     the remote-TPU tunnel where process env flags may not propagate.
     """
     v = os.environ.get("POLY_VMEM_LIMIT_MB")
-    if not v:
+    lim = int(v) if v else 0  # "0" disables, same as unset
+    if not lim:
         return None
     # TPU-only XLA option: the CPU/GPU compilers reject unknown options
-    # with INVALID_ARGUMENT, so never attach it off-TPU (the CPU test
-    # suite and dryrun_multichip run with the env var inherited).
-    if jax.default_backend() == "cpu":
+    # with INVALID_ARGUMENT, so attach it only on TPU backends (the real
+    # chip here registers as 'axon' through the tunnel).
+    if jax.default_backend() not in ("tpu", "axon"):
         return None
-    return {"xla_tpu_scoped_vmem_limit_kib": int(v) * 1024}
+    return {"xla_tpu_scoped_vmem_limit_kib": lim * 1024}
+
+
+def tpu_jit(fn, **jit_kwargs):
+    """jax.jit that always pairs POLY_VMEM_LIMIT_MB with the matching XLA
+    scoped-VMEM option. Any jit that may inline a Pallas kernel built with a
+    raised vmem_limit_bytes MUST use this (or pass compiler_options
+    manually) or Mosaic rejects the kernel at compile time."""
+    return jax.jit(fn, compiler_options=compiler_options(), **jit_kwargs)
 
 
 def param_count(tree) -> int:

@@ -58,7 +58,7 @@ from polyphemus_tpu.midi.song import loop_song
 from polyphemus_tpu.models import VAE
 from polyphemus_tpu.train.trainer import (create_train_state, make_optimizer,
                                           make_train_step)
-from polyphemus_tpu.utils import wait_for_backend
+from polyphemus_tpu.utils import wait_for_backend, tpu_jit
 
 # a wedged TPU tunnel blocks the first device query indefinitely while it
 # drains a killed compile (~30 min observed); wait it out, don't hang
@@ -94,7 +94,7 @@ def build(n_bars):
     model = VAE(cfg)
     toks0 = jnp.zeros((1, n_bars, 4, 32, 16, 2), jnp.int32)
     mask0 = jnp.zeros((1, n_bars, 4, 32), bool).at[:, :, 0, 0].set(True)
-    variables = jax.jit(lambda: model.init(
+    variables = tpu_jit(lambda: model.init(
         {"params": jax.random.key(0), "sample": jax.random.key(1)},
         toks0, mask0, deterministic=True))()
     return cfg, model, variables
@@ -172,7 +172,7 @@ else:
                 return carry + jnp.sum(tokens) + jnp.sum(mask), None
             acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.int32), zs)
             return acc
-        return jax.jit(chained)
+        return tpu_jit(chained)
 
     zs50 = jax.random.normal(jax.random.key(5), (50, 256, cfg2.d))
     vars_bf = as_bf16(vars2)
@@ -251,7 +251,7 @@ if "gen" in STAGES or "lmd16" in STAGES:
                 return carry + jnp.sum(tokens) + jnp.sum(mask), None
             acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.int32), zs)
             return acc
-        return jax.jit(chained)
+        return tpu_jit(chained)
 
     zs16 = jax.random.normal(jax.random.key(6), (10, 256, cfg16.d))
     vars16_bf = as_bf16(vars16)
@@ -356,7 +356,7 @@ def timed_train(cfg, key):
     reliable sync on the tunnel; 10/pass amortizes the fixed ~25 ms
     pass sync to ~2.5 ms/step — PERFORMANCE.md round-3 profile)."""
     state = create_train_state(model_tr, cfg, jax.random.key(0), toks, mask)
-    step = jax.jit(make_train_step(model_tr, cfg, make_optimizer(cfg)))
+    step = tpu_jit(make_train_step(model_tr, cfg, make_optimizer(cfg)))
     float(step(state, toks, mask, jax.random.key(1))[1]["tot"])  # warmup
     times = []
     for _ in range(3):
@@ -473,8 +473,8 @@ if "numerics" in STAGES and PALLAS:
 
     _xj = jnp.asarray(_x0)
     for dt_name, dt in (("bf16", jnp.bfloat16), ("f32", jnp.float32)):
-        ox = jax.jit(_fwd_xla, static_argnums=1)(_xj, dt)
-        op = jax.jit(_fwd_pal, static_argnums=1)(_xj, dt)
+        ox = tpu_jit(_fwd_xla, static_argnums=1)(_xj, dt)
+        op = tpu_jit(_fwd_pal, static_argnums=1)(_xj, dt)
         err = _rel(op, ox)
         report[f"pallas_fwd_rel_err_{dt_name}"] = round(err, 6)
         assert err <= _TOL[f"fwd_{dt_name}"], (
@@ -484,9 +484,9 @@ if "numerics" in STAGES and PALLAS:
         args = (jnp.asarray(_x0_b), jnp.asarray(_gate),
                 jnp.asarray(_relw[0]), jnp.asarray(_root[0]),
                 jnp.asarray(_bias[0]))
-        gx = jax.jit(jax.grad(_loss_xla, argnums=(0, 1, 2, 3, 4)),
+        gx = tpu_jit(jax.grad(_loss_xla, argnums=(0, 1, 2, 3, 4)),
                      static_argnums=5)(*args, dt)
-        gp_ = jax.jit(jax.grad(_loss_pal, argnums=(0, 1, 2, 3, 4)),
+        gp_ = tpu_jit(jax.grad(_loss_pal, argnums=(0, 1, 2, 3, 4)),
                       static_argnums=5)(*args, dt)
         errs = [_rel(a, b) for a, b in zip(gp_, gx)]
         err = max(errs)

@@ -34,7 +34,7 @@ from polyphemus_tpu.data.dataset import synthetic_batch
 from polyphemus_tpu.models import VAE
 from polyphemus_tpu.train.trainer import (create_train_state, make_optimizer,
                                           make_train_step)
-from polyphemus_tpu.utils import wait_for_backend
+from polyphemus_tpu.utils import wait_for_backend, tpu_jit
 
 # a wedged TPU tunnel blocks the first device query indefinitely while it
 # drains a killed compile (~30 min observed); wait it out, don't hang
@@ -61,7 +61,7 @@ report["train_lmd16_gflops_per_seq" if LMD16
 
 
 def run(tag, cfg):
-    step = jax.jit(make_train_step(model, cfg, make_optimizer(cfg)))
+    step = tpu_jit(make_train_step(model, cfg, make_optimizer(cfg)))
     state = state0
     s, l, _ = step(state, toks, mask, jax.random.key(1))
     float(l["tot"])  # sync (scalar readback; block_until_ready unreliable)

@@ -19,6 +19,7 @@ jax.config.update("jax_compilation_cache_dir",
                   os.path.expanduser("~/.cache/polyphemus_jax"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+from polyphemus_tpu.utils import tpu_jit
 from polyphemus_tpu.ops.kernels import gcl_pallas, gcl_pallas_bwd
 
 T, S, D = 4, 32, 512
@@ -50,7 +51,7 @@ def chain(fn, x, rounds):
 
 def timeit(label, fn, x, dt):
     x = jnp.asarray(x, dt)
-    f = jax.jit(lambda a: chain(fn, a, ROUNDS))
+    f = tpu_jit(lambda a: chain(fn, a, ROUNDS))
     s = f(x)
     jax.block_until_ready(s)  # compile + warm
     t0 = time.perf_counter()

@@ -19,6 +19,7 @@ jax.config.update("jax_compilation_cache_dir",
                   os.path.expanduser("~/.cache/polyphemus_jax"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+from polyphemus_tpu.utils import tpu_jit
 from polyphemus_tpu.ops.kernels import gcl_pallas, gcl_pallas_bwd
 
 T, S, D = 4, 32, 512
@@ -53,7 +54,7 @@ def timeit(label, make_fn, x, dt):
         out, _ = jax.lax.scan(body, a, None, length=ROUNDS)
         return jnp.sum(out[..., 0, 0, :1].astype(jnp.float32))
 
-    f = jax.jit(run)
+    f = tpu_jit(run)
     try:
         s = f(x)
         jax.block_until_ready(s)

@@ -5,6 +5,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspa
 import jax
 jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/polyphemus_jax"))
 import jax.numpy as jnp, numpy as np
+from polyphemus_tpu.utils import tpu_jit
 from polyphemus_tpu.config import ModelConfig
 from polyphemus_tpu.generate import make_generator
 from polyphemus_tpu.models import VAE
@@ -14,7 +15,7 @@ cfg = ModelConfig(d=512, gnn_n_layers=8, n_bars=2, resolution=8,
 model = VAE(cfg)
 toks0 = jnp.zeros((1, 2, 4, 32, 16, 2), jnp.int32)
 mask0 = jnp.zeros((1, 2, 4, 32), bool).at[:, :, 0, 0].set(True)
-variables = jax.jit(lambda: model.init(
+variables = tpu_jit(lambda: model.init(
     {"params": jax.random.key(0), "sample": jax.random.key(1)},
     toks0, mask0, deterministic=True))()
 

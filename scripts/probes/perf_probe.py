@@ -22,6 +22,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 import numpy as np
 
+from polyphemus_tpu.utils import tpu_jit
 from polyphemus_tpu.config import ModelConfig, TrainConfig
 from polyphemus_tpu.data.dataset import synthetic_batch
 from polyphemus_tpu.generate import make_generator
@@ -36,7 +37,7 @@ model = VAE(cfg)
 
 toks0 = jnp.zeros((1, 2, 4, 32, 16, 2), jnp.int32)
 mask0 = jnp.zeros((1, 2, 4, 32), bool).at[:, :, 0, 0].set(True)
-variables = jax.jit(lambda: model.init(
+variables = tpu_jit(lambda: model.init(
     {"params": jax.random.key(0), "sample": jax.random.key(1)},
     toks0, mask0, deterministic=True))()
 
@@ -77,7 +78,7 @@ tcfg = TrainConfig(batch_size=BATCH, model=cfg, iters_to_accumulate=4)
 toks, mask = synthetic_batch(np.random.default_rng(0), BATCH, cfg.n_bars)
 toks, mask = jnp.asarray(toks), jnp.asarray(mask)
 state = create_train_state(model, tcfg, jax.random.key(0), toks, mask)
-step = jax.jit(make_train_step(model, tcfg, make_optimizer(tcfg)))
+step = tpu_jit(make_train_step(model, tcfg, make_optimizer(tcfg)))
 jax.block_until_ready(step(state, toks, mask, jax.random.key(1)))
 t0 = time.perf_counter()
 N = 5

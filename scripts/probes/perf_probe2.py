@@ -6,6 +6,7 @@ import jax
 jax.config.update("jax_compilation_cache_dir", os.environ["POLY_COMPILE_CACHE"])
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
+from polyphemus_tpu.utils import tpu_jit
 from polyphemus_tpu.config import ModelConfig
 from polyphemus_tpu.generate import make_generator
 from polyphemus_tpu.models import VAE
@@ -14,7 +15,7 @@ cfg = ModelConfig(d=512, gnn_n_layers=8, n_bars=2, resolution=8, dropout=0.0, ba
 model = VAE(cfg)
 toks0 = jnp.zeros((1, 2, 4, 32, 16, 2), jnp.int32)
 mask0 = jnp.zeros((1, 2, 4, 32), bool).at[:, :, 0, 0].set(True)
-variables = jax.jit(lambda: model.init(
+variables = tpu_jit(lambda: model.init(
     {"params": jax.random.key(0), "sample": jax.random.key(1)},
     toks0, mask0, deterministic=True))()
 

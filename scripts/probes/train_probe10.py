@@ -11,6 +11,7 @@ import jax
 jax.config.update("jax_compilation_cache_dir",
                   os.path.expanduser("~/.cache/polyphemus_jax"))
 import jax.numpy as jnp, numpy as np
+from polyphemus_tpu.utils import tpu_jit
 from polyphemus_tpu.config import ModelConfig, TrainConfig
 from polyphemus_tpu.data.dataset import synthetic_batch
 from polyphemus_tpu.models import VAE
@@ -42,8 +43,8 @@ def chain_time(tag, scalar_fn, n=8):
         out, _ = jax.lax.scan(body, jnp.zeros(()), jnp.arange(m))
         return out
 
-    f1 = jax.jit(lambda: chained(1))
-    fn_ = jax.jit(lambda: chained(n))
+    f1 = tpu_jit(lambda: chained(1))
+    fn_ = tpu_jit(lambda: chained(n))
     float(f1()); float(fn_())  # compile both
     t0 = time.perf_counter(); float(f1()); t1 = time.perf_counter()
     float(fn_()); t2 = time.perf_counter()
@@ -74,7 +75,7 @@ def v_grad():
 def v_bf16():
     import dataclasses
     cfg_bf = dataclasses.replace(cfg, bf16=True)
-    step = jax.jit(make_train_step(model, cfg_bf, make_optimizer(cfg_bf)))
+    step = tpu_jit(make_train_step(model, cfg_bf, make_optimizer(cfg_bf)))
     st = state
     st, l, _ = step(st, toks, mask, jax.random.key(1)); float(l["tot"])
     t0 = time.perf_counter()

@@ -23,6 +23,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 import numpy as np
 
+from polyphemus_tpu.utils import tpu_jit
 from polyphemus_tpu.config import ModelConfig, TrainConfig
 from polyphemus_tpu.data.dataset import synthetic_batch
 from polyphemus_tpu.models import VAE
@@ -41,7 +42,7 @@ def run(tag, layers=8, accum=4, metrics=True, fused_ce=True):
                           dropout=0.0, batch_norm=True, use_pallas_gcl=True))
     model = VAE(cfg.model)
     state = create_train_state(model, cfg, jax.random.key(0), toks, mask)
-    step = jax.jit(make_train_step(model, cfg, make_optimizer(cfg),
+    step = tpu_jit(make_train_step(model, cfg, make_optimizer(cfg),
                                    with_metrics=metrics))
     s, l, _ = step(state, toks, mask, jax.random.key(1))
     float(l["tot"])

@@ -25,6 +25,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 import numpy as np
 
+from polyphemus_tpu.utils import tpu_jit
 from polyphemus_tpu import utils
 from polyphemus_tpu.config import ModelConfig, TrainConfig
 from polyphemus_tpu.data.dataset import synthetic_batch
@@ -56,8 +57,7 @@ def run(tag, accum, bf16, raise_mb=None, fwd_bb=None, bwd_d=None,
                           dropout=0.0, batch_norm=True, use_pallas_gcl=True))
     model = VAE(cfg.model)
     state = create_train_state(model, cfg, jax.random.key(0), toks, mask)
-    step = jax.jit(make_train_step(model, cfg, make_optimizer(cfg)),
-                   compiler_options=utils.compiler_options())
+    step = tpu_jit(make_train_step(model, cfg, make_optimizer(cfg)))
     try:
         s, l, _ = step(state, toks, mask, jax.random.key(1))
         float(l["tot"])

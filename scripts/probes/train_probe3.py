@@ -5,6 +5,7 @@ import jax
 jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/polyphemus_jax"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp, numpy as np
+from polyphemus_tpu.utils import tpu_jit
 from polyphemus_tpu.config import ModelConfig, TrainConfig
 from polyphemus_tpu.data.dataset import synthetic_batch
 from polyphemus_tpu.models import VAE
@@ -19,7 +20,7 @@ for accum in (1, 2):
     toks, mask = jnp.asarray(toks), jnp.asarray(mask)
     try:
         state = create_train_state(model, cfg, jax.random.key(0), toks, mask)
-        step = jax.jit(make_train_step(model, cfg, make_optimizer(cfg)))
+        step = tpu_jit(make_train_step(model, cfg, make_optimizer(cfg)))
         jax.block_until_ready(step(state, toks, mask, jax.random.key(1)))
         ts = []
         for i in range(4):

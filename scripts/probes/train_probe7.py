@@ -13,6 +13,7 @@ import jax
 jax.config.update("jax_compilation_cache_dir",
                   os.path.expanduser("~/.cache/polyphemus_jax"))
 import jax.numpy as jnp, numpy as np
+from polyphemus_tpu.utils import tpu_jit
 from polyphemus_tpu.config import ModelConfig, TrainConfig
 from polyphemus_tpu.data.dataset import synthetic_batch
 from polyphemus_tpu.models import VAE
@@ -56,7 +57,7 @@ def timeit(tag, with_metrics, loss_fn):
     import polyphemus_tpu.train.trainer as T
     T.compute_losses = loss_fn
     try:
-        step = jax.jit(make_train_step(model, cfg, make_optimizer(cfg),
+        step = tpu_jit(make_train_step(model, cfg, make_optimizer(cfg),
                                        with_metrics=with_metrics))
         state = state0
         s, l, _ = step(state, toks, mask, jax.random.key(1))

@@ -12,6 +12,7 @@ import jax
 jax.config.update("jax_compilation_cache_dir",
                   os.path.expanduser("~/.cache/polyphemus_jax"))
 import jax.numpy as jnp, numpy as np
+from polyphemus_tpu.utils import tpu_jit
 from polyphemus_tpu.config import ModelConfig, TrainConfig
 from polyphemus_tpu.data.dataset import synthetic_batch
 from polyphemus_tpu.models import VAE
@@ -31,7 +32,7 @@ def run(tag, accum=4, batch_norm=True, fce=False):
     toks, mask = synthetic_batch(np.random.default_rng(0), 256, 2)
     toks, mask = jnp.asarray(toks), jnp.asarray(mask)
     state = create_train_state(model, cfg, jax.random.key(0), toks, mask)
-    step = jax.jit(make_train_step(model, cfg, make_optimizer(cfg)))
+    step = tpu_jit(make_train_step(model, cfg, make_optimizer(cfg)))
     try:
         s, l, _ = step(state, toks, mask, jax.random.key(1))
         float(l["tot"])

@@ -11,6 +11,7 @@ Chained-scan timing inside one jit, flagship shape (512 bars, d=512).
 CASES env selects cases; MB env sets the raised budget (default 64).
 """
 import json
+import re
 import os
 import sys
 import time
@@ -25,6 +26,7 @@ jax.config.update("jax_compilation_cache_dir",
                   os.path.expanduser("~/.cache/polyphemus_jax"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+from polyphemus_tpu.utils import tpu_jit
 from polyphemus_tpu import utils
 from polyphemus_tpu.ops.kernels import gcl_pallas, gcl_pallas_bwd
 
@@ -60,7 +62,7 @@ def timeit(label, make_fn, x, dt):
         out, _ = jax.lax.scan(body, a, None, length=ROUNDS)
         return jnp.sum(out[..., 0, 0, :1].astype(jnp.float32))
 
-    f = jax.jit(run, compiler_options=utils.compiler_options())
+    f = tpu_jit(run)
     try:
         s = f(x)
         jax.block_until_ready(s)
@@ -102,9 +104,11 @@ for case in CASES:
         def fn(a, bb=bb, gates=gates, wbig=wbig, bias=bias):
             return gcl_pallas.gcl_apply_pallas(a, aux, gates, wbig, bias,
                                                bars_per_block=bb)
-    elif kind == "full":  # split backward, tiles like d4w8
-        bbd = int(tiles[tiles.index("d") + 1])
-        bbw = int(tiles[tiles.index("w") + 1])
+    elif kind == "full":  # split backward, tiles like d4w8 / d16w8
+        m = re.fullmatch(r"d(\d+)w(\d+)", tiles)
+        if m is None:
+            raise SystemExit(f"bad full-case tile spec {tiles!r}: want dNwM")
+        bbd, bbw = int(m.group(1)), int(m.group(2))
 
         def fn(a, bbd=bbd, bbw=bbw, gj=gj, gates=gates, wbig=wbig):
             return gcl_pallas_bwd.gcl_backward_pallas(

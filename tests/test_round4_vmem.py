@@ -49,6 +49,36 @@ def test_compiler_options_env(clean_env):
     assert params is not None and params.vmem_limit_bytes == 64 * 2**20
 
 
+def test_zero_disables_everywhere(clean_env):
+    """POLY_VMEM_LIMIT_MB=0 means "disabled", not a 0-byte budget (round-5
+    ADVICE fix): both the Mosaic kernel param and the XLA jit option must
+    behave exactly as if the var were unset."""
+    clean_env.setenv("POLY_VMEM_LIMIT_MB", "0")
+    assert gcl_pallas.vmem_limit_bytes() is None
+    assert gcl_pallas._compiler_params(interpret=False) is None
+    clean_env.setattr(utils.jax, "default_backend", lambda: "tpu")
+    assert utils.compiler_options() is None
+
+
+def test_compiler_options_non_tpu_backends(clean_env):
+    """The scoped-VMEM option is attached only on TPU backends ('tpu' or
+    the tunneled 'axon'); GPUs/CPUs reject unknown XLA options."""
+    clean_env.setenv("POLY_VMEM_LIMIT_MB", "32")
+    for backend, want in [("cpu", None), ("gpu", None), ("cuda", None),
+                          ("tpu", {"xla_tpu_scoped_vmem_limit_kib": 32768}),
+                          ("axon", {"xla_tpu_scoped_vmem_limit_kib": 32768})]:
+        clean_env.setattr(utils.jax, "default_backend", lambda b=backend: b)
+        assert utils.compiler_options() == want, backend
+
+
+def test_tpu_jit_wrapper(clean_env):
+    """utils.tpu_jit pairs the jit with compiler_options() automatically
+    and otherwise behaves as jax.jit."""
+    clean_env.setenv("POLY_VMEM_LIMIT_MB", "64")
+    f = utils.tpu_jit(lambda x, n: x * n, static_argnums=1)
+    assert float(f(jnp.float32(2.0), 3)) == 6.0
+
+
 def _tiny_case(seed=0, b=3, nb=2, t=4, s=32, d=64):
     rng = np.random.default_rng(seed)
     mask = rng.random((b, nb, t, s)) < 0.3
