@@ -159,9 +159,18 @@ def make_train_step(model: VAE, cfg: TrainConfig,
                 state.params, state.batch_stats, tokens, mask, rng)
         else:
             b = tokens.shape[0]
+            if b % accum:
+                # The reference accumulates over whole dataloader batches
+                # (training.py:149-158) and never drops samples; a silent
+                # tokens[:mb*accum] truncation here would. Shapes are static
+                # under jit, so this raises at trace time.
+                raise ValueError(
+                    f"batch size {b} is not divisible by "
+                    f"iters_to_accumulate={accum}; every sample must land in "
+                    f"a microbatch (pick batch_size % accum == 0)")
             mb = b // accum
-            tok_mb = tokens[: mb * accum].reshape((accum, mb) + tokens.shape[1:])
-            msk_mb = mask[: mb * accum].reshape((accum, mb) + mask.shape[1:])
+            tok_mb = tokens.reshape((accum, mb) + tokens.shape[1:])
+            msk_mb = mask.reshape((accum, mb) + mask.shape[1:])
 
             def scan_body(carry, xs):
                 stats, gacc, i = carry

@@ -193,6 +193,48 @@ def test_grad_accum_matches_reference_semantics():
     assert np.isfinite(float(losses["tot"]))
 
 
+def test_grad_accum_rejects_non_divisible_batch():
+    """batch_size % iters_to_accumulate != 0 must raise, not silently drop
+    the remainder samples (the reference never drops any,
+    training.py:149-158). Round-5 fix: previously tokens[:mb*accum]
+    truncated 2 of 10 samples without warning."""
+    cfg = dataclasses.replace(SMALL, batch_size=10, iters_to_accumulate=4)
+    model = VAE(cfg.model)
+    rng = np.random.default_rng(7)
+    toks, mask = synthetic_batch(rng, 10, cfg.model.n_bars)
+    toks, mask = jnp.asarray(toks), jnp.asarray(mask)
+    state = create_train_state(model, cfg, jax.random.key(0), toks, mask)
+    step = jax.jit(make_train_step(model, cfg, make_optimizer(cfg)))
+    with pytest.raises(ValueError, match="not divisible"):
+        step(state, toks, mask, jax.random.key(1))
+
+
+def test_grad_accum_every_sample_contributes():
+    """With a divisible batch (10, accum=5) perturbing ONLY the last sample
+    changes the gradients — i.e. no sample is dropped."""
+    cfg = dataclasses.replace(SMALL, batch_size=10, iters_to_accumulate=5)
+    model = VAE(cfg.model)
+    rng = np.random.default_rng(8)
+    toks, mask = synthetic_batch(rng, 10, cfg.model.n_bars)
+    toks2 = np.array(toks)
+    t2, m2 = synthetic_batch(np.random.default_rng(99), 1, cfg.model.n_bars)
+    toks2[9:10] = t2
+    mask2 = np.array(mask)
+    mask2[9:10] = m2
+    toks, mask = jnp.asarray(toks), jnp.asarray(mask)
+    state = create_train_state(model, cfg, jax.random.key(0), toks, mask)
+    step = jax.jit(make_train_step(model, cfg, make_optimizer(cfg)))
+    s_a, losses_a, _ = step(state, toks, mask, jax.random.key(1))
+    s_b, losses_b, _ = step(state, jnp.asarray(toks2), jnp.asarray(mask2),
+                            jax.random.key(1))
+    # same first 9 samples, different 10th -> different loss AND params
+    assert float(losses_a["tot"]) != pytest.approx(float(losses_b["tot"]))
+    pd = max(float(jnp.max(jnp.abs(a - b)))
+             for a, b in zip(jax.tree_util.tree_leaves(s_a.params),
+                             jax.tree_util.tree_leaves(s_b.params)))
+    assert pd > 0.0
+
+
 @pytest.mark.slow
 def test_trainer_fit_smoke(tmp_path):
     mesh = pmesh.make_mesh(1)
