@@ -50,6 +50,13 @@ class ModelConfig:
     # values > 4 here only take full effect under bf16.
     gcl_bars_per_block: int = 8
     tail_bars_per_block: int = 16
+    # GCL layers fused per Pallas invocation on the EVAL/generation path
+    # (1 = one kernel per layer). Chained layers keep node states in VMEM
+    # across layer boundaries and build the per-bar selection statics
+    # once; most (chain, dtype) combos need scoped VMEM beyond 16 MB, so
+    # the enclosing jit must raise xla_tpu_scoped_vmem_limit_kib
+    # (generate.make_generator handles this; env POLY_GCL_CHAIN sweeps).
+    gcl_chain: int = 1
     # Histogram-fused content-encoder front end: computes the masked BN
     # stats analytically from the embedding tables (hist @ table — exact
     # counts, so better-rounded than reducing a bf16 embedding tensor) and

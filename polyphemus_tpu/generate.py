@@ -21,6 +21,7 @@ from . import constants, utils
 from .config import GenerationConfig, TrainConfig, load_train_config
 from .midi.song import Note, Song, Track
 from .models import VAE
+from .ops.kernels import gcl_pallas
 
 
 # ----------------------------------------------------------------------- loading
@@ -133,7 +134,18 @@ def make_generator(model: VAE, variables, *, conditioned: bool = False,
     # (a closure-baked key would reuse identical noise every call). The
     # deterministic (temperature 0) path ignores the key.
     base_key = jax.random.key(sample_seed)
-    copts = utils.compiler_options()
+    # the chained GCL eval kernel holds K packed weight stacks resident in
+    # VMEM — size the jit's scoped-VMEM option to its declared need
+    min_vmem = None
+    cfg = model.cfg
+    chain = int(os.environ.get("POLY_GCL_CHAIN", 0)) or cfg.gcl_chain
+    if cfg.use_pallas_gcl and chain > 1:
+        bb = (int(os.environ.get("POLY_GCL_EVAL_BB", 0))
+              or cfg.gcl_bars_per_block)
+        min_vmem = gcl_pallas.chain_vmem_bytes(
+            min(chain, cfg.gnn_n_layers), cfg.d, bb, 2 if bf16 else 4,
+            cfg.n_tracks * cfg.n_timesteps)
+    copts = utils.compiler_options(min_vmem)
     jitted = jax.jit(run, compiler_options=copts)
     calls = iter(range(1 << 62))
 

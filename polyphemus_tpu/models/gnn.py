@@ -63,6 +63,13 @@ class GCN(nn.Module):
     use_pallas: bool = False
     # VMEM tile size of the fused kernel (bars per invocation).
     bars_per_block: int = 4
+    # Eval-path layer chaining: process this many GCL layers per Pallas
+    # invocation (node states never return to HBM between chained layers;
+    # the per-bar selection statics build once per chain). 1 disables.
+    # Needs scoped VMEM beyond 16 MB for most (chain, dtype) combos — the
+    # enclosing jit must raise xla_tpu_scoped_vmem_limit_kib to
+    # gcl_pallas.chain_vmem_bytes (generate.make_generator does).
+    chain: int = 1
 
     @nn.compact
     def __call__(self, x, mask, nbr, *, deterministic: bool):
@@ -83,6 +90,9 @@ class GCN(nn.Module):
             # raised-VMEM budget is active
             eval_bb = (int(os.environ.get("POLY_GCL_EVAL_BB", 0))
                        or self.bars_per_block)
+            chain = (int(os.environ.get("POLY_GCL_CHAIN", 0))
+                     or self.chain)
+            per_layer = []  # (wbig, bias, ea, eb), param order preserved
             for i in range(self.n_layers):
                 rel_weight, root, bias = GCLParams(
                     self.dim, self.dim, self.num_relations,
@@ -95,9 +105,25 @@ class GCN(nn.Module):
                               jnp.zeros((self.dim,), x.dtype))
                 wbig = gcl_pallas.pack_weights(rel_weight, root, n_tracks,
                                                dtype=x.dtype)
+                per_layer.append((wbig, bias.astype(x.dtype),
+                                  affine[0].astype(x.dtype),
+                                  affine[1].astype(x.dtype)))
+            if chain > 1:
+                d = self.dim
+                for lo in range(0, self.n_layers, chain):
+                    grp = per_layer[lo:lo + chain]
+                    x = gcl_pallas.gcl_apply_pallas_chain(
+                        x, aux, gate_table,
+                        jnp.stack([g[0] for g in grp]),
+                        jnp.stack([g[1].reshape(1, d) for g in grp]),
+                        jnp.stack([g[2].reshape(1, d) for g in grp]),
+                        jnp.stack([g[3].reshape(1, d) for g in grp]),
+                        bars_per_block=eval_bb)
+                return x
+            for wbig, bias, ea, eb in per_layer:
                 x = gcl_pallas.gcl_apply_pallas(
-                    x, aux, gate_table, wbig, bias.astype(x.dtype),
-                    epilogue_affine=affine,
+                    x, aux, gate_table, wbig, bias,
+                    epilogue_affine=(ea, eb),
                     bars_per_block=eval_bb)
             return x
 

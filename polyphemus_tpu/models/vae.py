@@ -186,6 +186,7 @@ class ContentEncoder(nn.Module):
                 message_dropout_mode=cfg.message_dropout_mode,
                 use_pallas=cfg.use_pallas_gcl,
                 bars_per_block=cfg.gcl_bars_per_block,
+                chain=cfg.gcl_chain,
                 name="graph_encoder")(
             x, mask, nbr, deterministic=deterministic)
 
@@ -321,6 +322,7 @@ class ContentDecoder(nn.Module):
                 message_dropout_mode=cfg.message_dropout_mode,
                 use_pallas=cfg.use_pallas_gcl,
                 bars_per_block=cfg.gcl_bars_per_block,
+                chain=cfg.gcl_chain,
                 name="graph_decoder")(
             x, mask, nbr, deterministic=deterministic)
 

@@ -121,106 +121,164 @@ def pack_weights(rel_weight, root, n_tracks: int, dtype=jnp.bfloat16):
     return jnp.concatenate(blocks, axis=0).astype(dtype)
 
 
+def _bar_statics(aux_ref, b, gates, *, n_tracks: int, n_steps: int):
+    """Everything in one bar's GCL math that does NOT depend on the node
+    states x (and so is shared by every layer of a chained stack): the
+    batched selection matrix, the gate messages g3 = sd3 @ gates (the gate
+    table is shared across layers, model.py:175-184), the masked mean
+    reciprocals and the mask/single-node columns."""
+    n = n_tracks * n_steps
+    f32 = jnp.float32
+    cdt = gates.dtype
+    src_j = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    dist_j = jax.lax.broadcasted_iota(jnp.int32, (n, n_steps), 1)
+
+    def ch(c):
+        return aux_ref[b, c][:, None]  # (n, 1) int32
+
+    def sel(idx, ok):
+        return ((src_j == idx) & (ok > 0)).astype(cdt)
+
+    # all comparisons stay in the int32 domain (Mosaic lacks bf16 cmpf);
+    # mean-divisions become f32 reciprocals cast to the compute dtype
+    def recip(cnt_i, valid_i):
+        r = 1.0 / jnp.maximum(cnt_i.astype(f32), 1.0)
+        return jnp.where(valid_i, r, 0.0).astype(cdt)
+
+    m = (ch(MASK_CH) > 0).astype(cdt)  # (n, 1)
+
+    # All three gathers (track-prev, track-next, NEXT-col) batch into
+    # ONE (3n, n) @ (n, d) selection matmul, and the three gate-table
+    # lookups into ONE (3n, S) @ (S, d) — fewer, bigger MXU dispatches
+    # and one big fused relu(x*g) instead of three small ones.
+    ok_p, ok_n = ch(OK_P), ch(OK_N)
+    ok_pn = ((ch(OK_PN) > 0) & (ch(MSRC) > 0)).astype(jnp.int32)
+    sel3 = jnp.concatenate([sel(ch(PREV_SRC), ok_p),
+                            sel(ch(NEXT_SRC), ok_n),
+                            sel(ch(PN_SRC), ok_pn)], axis=0)
+    dist_j3 = jnp.concatenate([dist_j] * 3, axis=0)
+    dist3 = jnp.concatenate([ch(DIST_P), ch(DIST_N), ch(DIST_PN)], 0)
+    ok3 = jnp.concatenate([ok_p, ok_n, ok_pn], 0)
+    sd3 = ((dist_j3 == dist3) & (ok3 > 0)).astype(cdt)
+    g3 = jax.lax.dot(sd3, gates, preferred_element_type=f32).astype(cdt)
+
+    cnt_i = ok_p + ok_n
+    rec_track = recip(cnt_i, cnt_i > 0) * m
+    cnt_on_i = ch(CNT_ON)
+    rec_on = recip(cnt_on_i, cnt_on_i > 0) * m
+    cnt_nx_i = ch(CNT_NX)
+    valid_nx = (ch(OK_PN) > 0) & (cnt_nx_i > 0)
+    rec_nx = recip(cnt_nx_i, valid_nx) * m
+    single = ch(SINGLE).astype(cdt)
+    return m, sel3, g3, rec_track, rec_on, rec_nx, single
+
+
+def _layer_math(x, statics, g0, wbig, bias, ea, eb, *,
+                n_tracks: int, n_steps: int, epilogue: bool,
+                out_ref=None, b=None):
+    """One GCL layer on one bar's (n, d) node states. With out_ref set,
+    writes the per-track row blocks straight to out_ref[b] and returns
+    None; otherwise returns the (n, d) result (chained intermediate)."""
+    n = n_tracks * n_steps
+    d = x.shape[-1]
+    f32 = jnp.float32
+    cdt = x.dtype
+    m, sel3, g3, rec_track, rec_on, rec_nx, single = statics
+    col_i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0) % n_steps
+    col_j = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1) % n_steps
+    a_col = (col_i == col_j).astype(cdt)  # same-column sum matrix
+
+    x3 = jax.lax.dot(sel3, x, preferred_element_type=f32).astype(cdt)
+    msg3 = jax.nn.relu(x3 * g3)  # (3n, d)
+
+    # TRACK relations
+    h_track = (msg3[:n] + msg3[n:2 * n]) * rec_track
+
+    # ONSET relation
+    y0 = jax.nn.relu(x * g0) * m
+    col_sum = jax.lax.dot(a_col, y0, preferred_element_type=f32).astype(cdt)
+    h_onset = (col_sum - y0) * rec_on
+
+    # NEXT relation
+    z = msg3[2 * n:]
+    z_sum = jax.lax.dot(a_col, z, preferred_element_type=f32).astype(cdt)
+    h_next = (z_sum - z) * rec_nx
+
+    # single-node self loop (relation 0)
+    h_self = y0 * single
+
+    # project: shared relations in one (n, 4d) matmul; the 4 per-track
+    # relations as row-block matmuls (their weights differ per row
+    # block — zero-padding them into one matmul would double the
+    # FLOPs). NOTE a bar-batched variant (one (bb*n, 4d) @ (4d, d)
+    # projection for the whole block) measured flat-to-slower
+    # (3.26 vs ~2.9-3.15 ms / 512 bars bf16): the h-tensor
+    # concatenations cost what the bigger dots save. Reverted.
+    hcat = jnp.concatenate([h_self, h_onset, h_next, x], axis=1)
+    wshared = wbig[n_tracks * d:]  # [W0(self); W_on; W_next; root]
+    base = jax.lax.dot(hcat, wshared,
+                       preferred_element_type=f32).astype(cdt) + bias
+    blks = []
+    for t in range(n_tracks):
+        lo, hi = t * n_steps, (t + 1) * n_steps
+        wt = wbig[t * d:(t + 1) * d]
+        blk = base[lo:hi] + jax.lax.dot(
+            h_track[lo:hi], wt, preferred_element_type=f32).astype(cdt)
+        blk = blk * m[lo:hi]
+        if epilogue:
+            blk = jax.nn.relu((blk * ea + eb) * m[lo:hi]) + x[lo:hi]
+        if out_ref is not None:
+            out_ref[b, lo:hi] = blk
+        else:
+            blks.append(blk)
+    if out_ref is None:
+        return jnp.concatenate(blks, axis=0)
+
+
 def _kernel(aux_ref, x_ref, gates_ref, wbig_ref, bias_ref, *rest,
             bars_per_block: int, n_tracks: int, n_steps: int, d: int,
             epilogue: bool):
     if epilogue:
         # fused eval-mode BN (folded affine) + relu + residual
         ea_ref, eb_ref, out_ref = rest
+        ea, eb = ea_ref[:], eb_ref[:]
     else:
         (out_ref,) = rest
-    n = n_tracks * n_steps  # 128
-    f32 = jnp.float32
-    cdt = x_ref.dtype
-    # static structures
-    src_j = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-    col_i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0) % n_steps
-    col_j = src_j % n_steps
-    a_col = (col_i == col_j).astype(cdt)  # same-column sum matrix
-    dist_j = jax.lax.broadcasted_iota(jnp.int32, (n, n_steps), 1)
-
+        ea = eb = None
     gates = gates_ref[:]  # (S, d)
     g0 = gates[0:1, :]    # (1, d)
     wbig = wbig_ref[:]    # (8d, d)
     bias = bias_ref[:]    # (1, d)
 
     for b in range(bars_per_block):
-        x = x_ref[b]  # (n, d)
+        statics = _bar_statics(aux_ref, b, gates,
+                               n_tracks=n_tracks, n_steps=n_steps)
+        _layer_math(x_ref[b], statics, g0, wbig, bias, ea, eb,
+                    n_tracks=n_tracks, n_steps=n_steps, epilogue=epilogue,
+                    out_ref=out_ref, b=b)
 
-        def ch(c):
-            return aux_ref[b, c][:, None]  # (n, 1) int32
 
-        def sel(idx, ok):
-            return ((src_j == idx) & (ok > 0)).astype(cdt)
-
-        # all comparisons stay in the int32 domain (Mosaic lacks bf16 cmpf);
-        # mean-divisions become f32 reciprocals cast to the compute dtype
-        def recip(cnt_i, valid_i):
-            r = 1.0 / jnp.maximum(cnt_i.astype(f32), 1.0)
-            return jnp.where(valid_i, r, 0.0).astype(cdt)
-
-        m = (ch(MASK_CH) > 0).astype(cdt)  # (n, 1)
-
-        # All three gathers (track-prev, track-next, NEXT-col) batch into
-        # ONE (3n, n) @ (n, d) selection matmul, and the three gate-table
-        # lookups into ONE (3n, S) @ (S, d) — fewer, bigger MXU dispatches
-        # and one big fused relu(x*g) instead of three small ones.
-        ok_p, ok_n = ch(OK_P), ch(OK_N)
-        ok_pn = ((ch(OK_PN) > 0) & (ch(MSRC) > 0)).astype(jnp.int32)
-        sel3 = jnp.concatenate([sel(ch(PREV_SRC), ok_p),
-                                sel(ch(NEXT_SRC), ok_n),
-                                sel(ch(PN_SRC), ok_pn)], axis=0)
-        dist_j3 = jnp.concatenate([dist_j] * 3, axis=0)
-        dist3 = jnp.concatenate([ch(DIST_P), ch(DIST_N), ch(DIST_PN)], 0)
-        ok3 = jnp.concatenate([ok_p, ok_n, ok_pn], 0)
-        sd3 = ((dist_j3 == dist3) & (ok3 > 0)).astype(cdt)
-        x3 = jax.lax.dot(sel3, x, preferred_element_type=f32).astype(cdt)
-        g3 = jax.lax.dot(sd3, gates, preferred_element_type=f32).astype(cdt)
-        msg3 = jax.nn.relu(x3 * g3)  # (3n, d)
-
-        # TRACK relations
-        cnt_i = ok_p + ok_n
-        h_track = (msg3[:n] + msg3[n:2 * n]) * recip(cnt_i, cnt_i > 0) * m
-
-        # ONSET relation
-        y0 = jax.nn.relu(x * g0) * m
-        col_sum = jax.lax.dot(a_col, y0, preferred_element_type=f32
-                              ).astype(cdt)
-        cnt_on_i = ch(CNT_ON)
-        h_onset = (col_sum - y0) * recip(cnt_on_i, cnt_on_i > 0) * m
-
-        # NEXT relation
-        z = msg3[2 * n:]
-        z_sum = jax.lax.dot(a_col, z, preferred_element_type=f32
-                            ).astype(cdt)
-        cnt_nx_i = ch(CNT_NX)
-        valid_nx = (ch(OK_PN) > 0) & (cnt_nx_i > 0)
-        h_next = (z_sum - z) * recip(cnt_nx_i, valid_nx) * m
-
-        # single-node self loop (relation 0)
-        h_self = y0 * ch(SINGLE).astype(cdt)
-
-        # project: shared relations in one (n, 4d) matmul; the 4 per-track
-        # relations as row-block matmuls (their weights differ per row
-        # block — zero-padding them into one matmul would double the
-        # FLOPs). NOTE a bar-batched variant (one (bb*n, 4d) @ (4d, d)
-        # projection for the whole block) measured flat-to-slower
-        # (3.26 vs ~2.9-3.15 ms / 512 bars bf16): the h-tensor
-        # concatenations cost what the bigger dots save. Reverted.
-        hcat = jnp.concatenate([h_self, h_onset, h_next, x], axis=1)
-        wshared = wbig[n_tracks * d:]  # [W0(self); W_on; W_next; root]
-        base = jax.lax.dot(hcat, wshared,
-                           preferred_element_type=f32).astype(cdt) + bias
-        for t in range(n_tracks):
-            lo, hi = t * n_steps, (t + 1) * n_steps
-            wt = wbig[t * d:(t + 1) * d]
-            blk = base[lo:hi] + jax.lax.dot(
-                h_track[lo:hi], wt, preferred_element_type=f32).astype(cdt)
-            blk = blk * m[lo:hi]
-            if epilogue:
-                blk = jax.nn.relu((blk * ea_ref[:] + eb_ref[:])
-                                  * m[lo:hi]) + x[lo:hi]
-            out_ref[b, lo:hi] = blk
+def _kernel_chain(aux_ref, x_ref, gates_ref, wbig_ref, bias_ref,
+                  ea_ref, eb_ref, out_ref, *, bars_per_block: int,
+                  n_tracks: int, n_steps: int, d: int, n_chain: int):
+    """n_chain stacked GCL layers (epilogue-fused eval form) per bar:
+    intermediate node states never leave VMEM, the per-bar selection
+    statics and gate messages are built once and shared by every layer
+    (the gate table is stack-shared). Weight stacks: wbig (K, 8d, d),
+    bias/ea/eb (K, 1, d)."""
+    gates = gates_ref[:]
+    g0 = gates[0:1, :]
+    for b in range(bars_per_block):
+        statics = _bar_statics(aux_ref, b, gates,
+                               n_tracks=n_tracks, n_steps=n_steps)
+        x = x_ref[b]
+        for k in range(n_chain):
+            last = k == n_chain - 1
+            x = _layer_math(
+                x, statics, g0, wbig_ref[k], bias_ref[k],
+                ea_ref[k], eb_ref[k],
+                n_tracks=n_tracks, n_steps=n_steps, epilogue=True,
+                out_ref=out_ref if last else None, b=b)
 
 
 def gcl_apply_pallas(x, aux, gate_table, wbig, bias, *,
@@ -297,6 +355,99 @@ def gcl_apply_pallas(x, aux, gate_table, wbig, bias, *,
         compiler_params=_compiler_params(interpret),
         cost_estimate=pl.CostEstimate(
             flops=2 * (nbar + pad) * n * (8 * d) * d,
+            bytes_accessed=(nbar + pad) * n * d * 2 * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(*operands)
+
+    if pad:
+        out = out[:nbar]
+    return out.reshape(lead + (t, s, d))
+
+
+def chain_vmem_bytes(n_chain: int, d: int, bars_per_block: int,
+                     itemsize: int, n: int = 128) -> int | None:
+    """Scoped-VMEM bytes the chained eval kernel needs (weights + blocks +
+    per-bar scratch, 1.3x margin), or None when the default 16 MB budget
+    suffices. Used to size the kernel's CompilerParams AND the enclosing
+    jit's xla_tpu_scoped_vmem_limit_kib (utils.compiler_options)."""
+    e = itemsize
+    need = (n_chain * 8 * d * d * e            # stacked packed weights
+            + 4 * bars_per_block * n * d * e   # x in/out, double-buffered
+            + 2 * bars_per_block * N_AUX * n * 4
+            + n * (3 * n + 18 * d) * e         # per-bar scratch (sel3, msgs)
+            + (32 + 3 * n_chain) * d * e)      # gates + bias/ea/eb stacks
+    need = int(need * 1.3)
+    return need if need > 16 * 2**20 else None
+
+
+def gcl_apply_pallas_chain(x, aux, gate_table, wbigs, biases, eas, ebs, *,
+                           bars_per_block: int = 8,
+                           interpret: bool | None = None):
+    """n_chain stacked epilogue-fused GCL layers in ONE kernel invocation
+    (generation path): per layer-boundary, x stays in VMEM instead of a
+    full HBM write+read, and the per-bar selection statics build once.
+
+    wbigs (K, 8d, d) from pack_weights per layer; biases/eas/ebs (K, d).
+    Needs scoped VMEM beyond 16 MB for most (K, dtype) combos —
+    chain_vmem_bytes sizes it; the caller's jit must raise
+    xla_tpu_scoped_vmem_limit_kib to match (utils.compiler_options).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    k = wbigs.shape[0]
+    lead = x.shape[:-3]
+    t, s, d = x.shape[-3], x.shape[-2], x.shape[-1]
+    n = t * s
+    nbar = int(np.prod(lead)) if lead else 1
+    xf = x.reshape(nbar, n, d)
+    auxf = aux.reshape(nbar, N_AUX, n)
+    bb = max(1, min(bars_per_block, nbar))
+    pad = (-nbar) % bb
+    if pad:
+        xf = jnp.concatenate([xf, jnp.zeros((pad, n, d), xf.dtype)], 0)
+        auxf = jnp.concatenate([auxf, jnp.zeros((pad, N_AUX, n),
+                                                auxf.dtype)], 0)
+    nblocks = (nbar + pad) // bb
+
+    kern = functools.partial(_kernel_chain, bars_per_block=bb, n_tracks=t,
+                             n_steps=s, d=d, n_chain=k)
+    in_specs = [
+        pl.BlockSpec((bb, N_AUX, n), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bb, n, d), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((s, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((k, 8 * d, d), lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ] + [pl.BlockSpec((k, 1, d), lambda i: (0, 0, 0),
+                      memory_space=pltpu.VMEM)] * 3
+    operands = [auxf, xf, gate_table.astype(x.dtype),
+                wbigs.astype(x.dtype),
+                biases.reshape(k, 1, d).astype(x.dtype),
+                eas.reshape(k, 1, d).astype(x.dtype),
+                ebs.reshape(k, 1, d).astype(x.dtype)]
+
+    if interpret:
+        params = None
+    else:
+        need = chain_vmem_bytes(k, d, bb, np.dtype(x.dtype).itemsize, n)
+        env = vmem_limit_bytes()
+        lim = max(need or 0, env or 0) or None
+        params = (pltpu.CompilerParams(vmem_limit_bytes=lim)
+                  if lim else None)
+
+    out = pl.pallas_call(
+        kern,
+        grid=(nblocks,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bb, n, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nbar + pad, n, d), x.dtype),
+        interpret=interpret,
+        compiler_params=params,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (nbar + pad) * n * (8 * d) * d * k,
             bytes_accessed=(nbar + pad) * n * d * 2 * x.dtype.itemsize,
             transcendentals=0,
         ),

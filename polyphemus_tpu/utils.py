@@ -38,26 +38,31 @@ def enable_compile_cache(default_dir: str = "~/.cache/polyphemus_jax") -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
-def compiler_options() -> Optional[dict]:
+def compiler_options(min_vmem_bytes: Optional[int] = None) -> Optional[dict]:
     """Per-jit XLA options, or None.
 
     When POLY_VMEM_LIMIT_MB is set (see ops.kernels.gcl_pallas.
     vmem_limit_bytes), every jit that may inline a Pallas kernel must raise
     XLA's scoped-VMEM budget to at least the kernel limit or Mosaic rejects
-    the kernel. Pass the result as `jax.jit(..., compiler_options=...)` —
-    the option travels inside the PJRT compile request, so it works through
-    the remote-TPU tunnel where process env flags may not propagate.
+    the kernel. min_vmem_bytes raises the option to at least that many
+    bytes regardless of the env (the chained GCL eval kernel sizes its own
+    need via gcl_pallas.chain_vmem_bytes). Pass the result as
+    `jax.jit(..., compiler_options=...)` — the option travels inside the
+    PJRT compile request, so it works through the remote-TPU tunnel where
+    process env flags may not propagate.
     """
     v = os.environ.get("POLY_VMEM_LIMIT_MB")
-    lim = int(v) if v else 0  # "0" disables, same as unset
-    if not lim:
+    lim_kib = (int(v) if v else 0) * 1024  # "0" disables, same as unset
+    if min_vmem_bytes:
+        lim_kib = max(lim_kib, -(-int(min_vmem_bytes) // 1024))
+    if not lim_kib:
         return None
     # TPU-only XLA option: the CPU/GPU compilers reject unknown options
     # with INVALID_ARGUMENT, so attach it only on TPU backends (the real
     # chip here registers as 'axon' through the tunnel).
     if jax.default_backend() not in ("tpu", "axon"):
         return None
-    return {"xla_tpu_scoped_vmem_limit_kib": lim * 1024}
+    return {"xla_tpu_scoped_vmem_limit_kib": lim_kib}
 
 
 def tpu_jit(fn, **jit_kwargs):
