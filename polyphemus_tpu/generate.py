@@ -108,6 +108,17 @@ def make_generator(model: VAE, variables, *, conditioned: bool = False,
     """
     if pallas:
         model = with_pallas(model)
+        # Round-5 default: chain 2 GCL layers per kernel invocation on the
+        # eval path — measured 12 898 -> 14 225 seq/s fp32 (51.3 -> 56.6%
+        # MFU) at the bench.py protocol (PERFORMANCE.md round 5; chain 4
+        # and other tiles lose). Applied here (not in ModelConfig) because
+        # this function also sizes the jit's scoped-VMEM option to the
+        # chained kernel's need — arbitrary jits around VAE.decode would
+        # not. POLY_GCL_CHAIN=1 opts out; explicit cfg.gcl_chain wins.
+        if model.cfg.gcl_chain == 1 and not os.environ.get("POLY_GCL_CHAIN"):
+            import dataclasses
+
+            model = VAE(dataclasses.replace(model.cfg, gcl_chain=2))
     if bf16:
         variables = as_bf16(variables)
 

@@ -77,7 +77,7 @@ class GenerationService:
     """Model + generator cache; independent of the HTTP layer (usable from
     tests or other frontends directly)."""
 
-    def __init__(self, model_dir: str, batch_cap: int = 64,
+    def __init__(self, model_dir: str, batch_cap: int = 256,
                  use_pallas: Optional[bool] = None,
                  tiers: Optional[Sequence[int]] = None,
                  coalesce: bool = True):
@@ -88,9 +88,13 @@ class GenerationService:
         self.model_dir = model_dir
         self.batch_cap = batch_cap
         # latency tiers: requests pad to the smallest tier >= n, so n=1
-        # costs tier-1 compute, not batch_cap compute
+        # costs tier-1 compute, not batch_cap compute. batch_cap defaults
+        # to the chip's throughput-optimal batch (256, bench.py) so a deep
+        # queue coalesces toward full-rate device calls (round-5: 64 capped
+        # sustained load at ~285 seq/s while tier-256 calls run >12k seq/s);
+        # small tiers below it keep solo-request latency unchanged.
         if tiers is None:
-            tiers = [t for t in (1, 8) if t < batch_cap] + [batch_cap]
+            tiers = [t for t in (1, 8, 64) if t < batch_cap] + [batch_cap]
         self.tiers = sorted(set(int(t) for t in tiers))
         if self.tiers[0] < 1:
             raise ValueError("tiers must be >= 1")

@@ -311,33 +311,46 @@ if "serve" in STAGES:
                                "batch_stats": vars2["batch_stats"]}))
     save_train_config(TrainConfig(model=cfg2),
                       os.path.join(_srv_dir, "config.json"))
-    svc = GenerationService(_srv_dir, batch_cap=64, tiers=[1, 8, 64],
-                            use_pallas=PALLAS)
+    # round-5 (VERDICT r4 item 6): throughput-optimal default batch_cap
+    # 256 — deep queues coalesce toward full-rate device calls while the
+    # small tiers keep solo latency. Load-tested at 8 / 32 / 64 clients.
+    svc = GenerationService(_srv_dir, batch_cap=256,
+                            tiers=[1, 8, 64, 256], use_pallas=PALLAS)
     svc.warmup(all_tiers=True)
 
-    _stop = time.perf_counter() + 15.0
-    _counts = [0] * 8
-    _seqs = [0] * 8
+    for n_clients in (8, 32, 64):
+        _stop = time.perf_counter() + 15.0
+        _counts = [0] * n_clients
+        _seqs = [0] * n_clients
+        _lat: list = []
+        _lat_lock = _th.Lock()
 
-    def _client(i):
-        sizes = [1, 1, 1, 1, 3, 3, 20, 20]
-        n = sizes[i]
-        while time.perf_counter() < _stop:
-            svc.generate(n, seed=i * 1000 + _counts[i])
-            _counts[i] += 1
-            _seqs[i] += n
+        def _client(i, stop=_stop, counts=_counts, seqs=_seqs, lat=_lat):
+            sizes = [1, 1, 1, 1, 3, 3, 20, 20]
+            n = sizes[i % len(sizes)]
+            while time.perf_counter() < stop:
+                q0 = time.perf_counter()
+                svc.generate(n, seed=i * 1000 + counts[i])
+                with _lat_lock:
+                    lat.append((time.perf_counter() - q0) * 1e3)
+                counts[i] += 1
+                seqs[i] += n
 
-    threads = [_th.Thread(target=_client, args=(i,)) for i in range(8)]
-    t0 = time.perf_counter()
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
-    dt = time.perf_counter() - t0
-    report["serve_throughput_rps"] = round(sum(_counts) / dt, 2)
-    report["serve_throughput_seq_s"] = round(sum(_seqs) / dt, 1)
-    report["serve_coalesce_ratio"] = round(
-        svc.stats["requests"] / max(svc.stats["device_calls"], 1), 2)
+        threads = [_th.Thread(target=_client, args=(i,))
+                   for i in range(n_clients)]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        dt = time.perf_counter() - t0
+        sfx = "" if n_clients == 8 else f"_c{n_clients}"
+        report[f"serve_throughput_rps{sfx}"] = round(sum(_counts) / dt, 2)
+        report[f"serve_throughput_seq_s{sfx}"] = round(sum(_seqs) / dt, 1)
+        report[f"serve_p95_ms{sfx}"] = round(
+            float(np.percentile(_lat, 95)), 1) if _lat else None
+        report[f"serve_coalesce_ratio{sfx}"] = round(
+            svc.stats["requests"] / max(svc.stats["device_calls"], 1), 2)
     checkpoint("serve_concurrent")
 
 

@@ -137,6 +137,31 @@ def test_chain_env_override(monkeypatch):
     assert np.asarray(ref).shape == np.asarray(x).shape
 
 
+def test_make_generator_defaults_to_chain2(monkeypatch):
+    """Round-5 shipped default: make_generator(pallas=True) with a default
+    config (gcl_chain=1, no POLY_GCL_CHAIN) runs the chained kernel at
+    chain=2 — and the outputs are identical to an explicit chain=1 run."""
+    monkeypatch.delenv("POLY_GCL_CHAIN", raising=False)
+    from polyphemus_tpu.generate import make_generator
+    base = ModelConfig(d=32, gnn_n_layers=2, n_bars=2, resolution=8,
+                       dropout=0.0, batch_norm=True, use_pallas_gcl=True)
+    assert base.gcl_chain == 1
+    toks0 = jnp.zeros((1, 2, 4, 32, 16, 2), jnp.int32)
+    mask0 = jnp.zeros((1, 2, 4, 32), bool).at[:, :, 0, 0].set(True)
+    variables = VAE(base).init(
+        {"params": jax.random.key(0), "sample": jax.random.key(1)},
+        toks0, mask0, deterministic=True)
+    z = jax.random.normal(jax.random.key(7), (2, base.d))
+    gen_default = make_generator(VAE(base), variables, pallas=True)
+    m_def, t_def = gen_default(z)
+    # explicit opt-out pins chain=1 (per-layer kernel)
+    monkeypatch.setenv("POLY_GCL_CHAIN", "1")
+    gen_per_layer = make_generator(VAE(base), variables, pallas=True)
+    m_ref, t_ref = gen_per_layer(z)
+    np.testing.assert_array_equal(np.asarray(m_def), np.asarray(m_ref))
+    np.testing.assert_array_equal(np.asarray(t_def), np.asarray(t_ref))
+
+
 def test_chain_vmem_bytes_sizing():
     """Sizing helper: small cases fit the default budget (None); flagship
     fp32 chain-2 does not and returns a concrete limit."""
