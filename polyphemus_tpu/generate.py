@@ -95,7 +95,10 @@ def make_generator(model: VAE, variables, *, conditioned: bool = False,
 
     Returns fn(z[, mask]) -> (mask, tokens) (+ (s_logits, c_logits) when
     return_logits): mask (B, nb, T, S) bool, tokens (B, nb, T, S, 15, 2)
-    int32 argmax ids at every cell (callers apply the mask).
+    uint8 argmax ids at every cell (callers apply the mask; ids fit —
+    pitch < 131, duration < 99 — and the device->host copy rides the
+    tunnel, so the narrow dtype cuts transfer 4x vs int32: 31.5 -> 7.9 MB
+    per batch-256 call, the dominant per-call cost in serving).
 
     bf16=True runs the decode in bfloat16 (~2x MXU throughput). Measured
     deviation vs fp32 (bench_all numerics stage, n=256 flagship shape,
@@ -130,15 +133,16 @@ def make_generator(model: VAE, variables, *, conditioned: bool = False,
         if return_logits:
             s_logits, c_logits, used_mask = model.apply(
                 variables, z, mask, method=VAE.decode)
-            return used_mask, _tokens_from_logits(c_logits), s_logits, \
-                c_logits
+            return used_mask, \
+                _tokens_from_logits(c_logits).astype(jnp.uint8), \
+                s_logits, c_logits
         # fused unembed + argmax/sampling path: logits never materialize
         rngs = {"gen": key} if stochastic else None
         s_logits, tokens, used_mask = model.apply(
             variables, z, mask, method=VAE.decode_tokens,
             structure_temp=structure_temp, content_temp=content_temp,
             rngs=rngs)
-        return used_mask, tokens
+        return used_mask, tokens.astype(jnp.uint8)
 
     # Fresh sampling noise per call: the key folds in a host-side call
     # counter, so repeated stochastic gen(z) calls draw independent noise
