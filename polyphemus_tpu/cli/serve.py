@@ -1,7 +1,7 @@
 """Generation server CLI.
 
     python -m polyphemus_tpu.cli.serve MODEL_DIR [--host 127.0.0.1]
-        [--port 8000] [--batch_cap 64] [--no_warmup]
+        [--port 8000] [--batch_cap 256] [--no_warmup]
 
 MODEL_DIR is a native checkpoint dir or a reference torch model dir
 (auto-converted). See polyphemus_tpu/serve.py for the API.
@@ -16,10 +16,10 @@ def main(argv=None):
     p.add_argument("model_dir", type=str)
     p.add_argument("--host", type=str, default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
-    p.add_argument("--batch_cap", type=int, default=64)
+    p.add_argument("--batch_cap", type=int, default=256)
     p.add_argument("--tiers", type=int, nargs="+", default=None,
                    help="latency tiers (compiled batch sizes); requests "
-                        "route to the smallest tier >= n. Default: 1 8 "
+                        "route to the smallest tier >= n. Default: 1 8 64 "
                         "batch_cap")
     p.add_argument("--no_warmup", action="store_true", default=False)
     p.add_argument("--no_coalesce", action="store_true", default=False,
