@@ -25,11 +25,10 @@ rendering happens outside the lock. Concurrent requests are COALESCED:
 while the device runs one call, compatible queued requests (same
 temperatures/conditioning) merge into a single padded tier call —
 continuous micro-batching, so 8 concurrent n=1 clients cost ~one tier-8
-call instead of eight tier-1 calls. Dispatch and completion are
-PIPELINED (depth 2): jit calls enqueue asynchronously, so batch N+1's
-device compute overlaps batch N's device->host output copy — the copy
-rides the tunnel and dominates per-call cost at large tiers (outputs are
-uint8-packed for the same reason, generate.make_generator). Generators are cached per
+call instead of eight tier-1 calls. Outputs are uint8-packed on device
+(generate.make_generator): the device->host copy rides the tunnel and
+dominates per-call cost at large tiers, and the 4x narrower dtype
+raised sustained 64-client throughput 756 -> 1309 seq/s (round 5). Generators are cached per
 (tier, temps, conditioned); temperatures are quantized to 2 decimals and
 the cache is a bounded LRU, so arbitrary client-supplied floats cannot
 grow the compile cache without bound. Cache check-and-insert happens
@@ -127,20 +126,10 @@ class GenerationService:
         self._pending_cv = threading.Condition()
         self._dispatcher: Optional[threading.Thread] = None
         if self.coalesce:
-            import queue
-
-            # depth-2 pipeline: the dispatcher may run one batch ahead of
-            # the completer, overlapping device compute with the previous
-            # batch's device->host copy; deeper queues only add latency.
-            self._done_q: "queue.Queue" = queue.Queue(maxsize=2)
             self._dispatcher = threading.Thread(
                 target=self._dispatch_loop, daemon=True,
                 name="poly-serve-dispatch")
             self._dispatcher.start()
-            self._completer = threading.Thread(
-                target=self._complete_loop, daemon=True,
-                name="poly-serve-complete")
-            self._completer.start()
 
     def tier_for(self, n: int) -> int:
         for t in self.tiers:
@@ -204,14 +193,19 @@ class GenerationService:
             raise work.err
         return work.out
 
-    def _dispatch_batch(self, key, z_rows, s_rows, n_requests):
-        """Pad z_rows to the smallest tier and LAUNCH one device call.
+    def _run_batch(self, key, z_rows, s_rows, sizes):
+        """Pad z_rows to the smallest tier, run one device call, split the
+        outputs back into per-request (mask, tokens) chunks of `sizes`.
 
-        jit dispatch is asynchronous: the returned device arrays are
-        futures, so the caller can overlap this batch's device compute
-        with the previous batch's device->host copy (_complete_batch) —
-        the copy rides the tunnel and is the dominant per-call cost at
-        large tiers (round-5 measurement, PERFORMANCE.md)."""
+        The device->host copy happens INSIDE the lock on purpose: while
+        this batch computes + transfers, the dispatcher blocks here, so
+        pending requests accumulate into the next (larger) tier call —
+        the blocking window IS the adaptive micro-batching window. A
+        depth-2 dispatch/complete pipeline was tried in round 5 and lost
+        ~35% throughput at every load level (PERFORMANCE.md): the racing
+        dispatcher shipped many small tier calls (coalesce 13.4 -> 6.1)
+        and the tunnel serializes transfer with the next dispatch anyway,
+        so there was no overlap to win."""
         n_total = z_rows.shape[0]
         tier = self.tier_for(n_total)
         z_pad = np.zeros((tier,) + z_rows.shape[1:], z_rows.dtype)
@@ -222,33 +216,21 @@ class GenerationService:
         with self._lock:
             gen = self._generator_locked(tier, key[0], key[1], key[2])
             out = gen(z_pad, s_pad) if key[2] else gen(z_pad)
+            mask, tokens = (np.asarray(out[0]), np.asarray(out[1]))
             self.stats["device_calls"] += 1
-            self.stats["requests"] += n_requests
-            if n_requests > 1:
-                self.stats["coalesced_requests"] += n_requests
-        return out
-
-    @staticmethod
-    def _complete_batch(out, sizes):
-        """Block on the device call, copy to host, split per request."""
-        mask, tokens = (np.asarray(out[0]), np.asarray(out[1]))
+            self.stats["requests"] += len(sizes)
+            if len(sizes) > 1:
+                self.stats["coalesced_requests"] += len(sizes)
         res, off = [], 0
         for sz in sizes:
             res.append((mask[off:off + sz], tokens[off:off + sz]))
             off += sz
         return res
 
-    def _run_batch(self, key, z_rows, s_rows, sizes):
-        out = self._dispatch_batch(key, z_rows, s_rows, len(sizes))
-        return self._complete_batch(out, sizes)
-
     def _dispatch_loop(self):
         """Continuous micro-batching: drain the longest compatible FIFO
         prefix of pending requests into one tier call. No artificial delay —
-        batching emerges while the device is busy with the previous call.
-        Completion (device->host copy + waiter wakeup) is pipelined into a
-        separate thread behind a depth-2 queue: batch N+1's device compute
-        overlaps batch N's output transfer."""
+        batching emerges while the device is busy with the previous call."""
         while True:
             with self._pending_cv:
                 while not self._pending:
@@ -266,19 +248,8 @@ class GenerationService:
                 z = np.concatenate([w.z for w in batch], axis=0)
                 s = (np.concatenate([w.s for w in batch], axis=0)
                      if batch[0].key[2] else None)
-                sizes = [w.z.shape[0] for w in batch]
-                out = self._dispatch_batch(batch[0].key, z, s, len(batch))
-                self._done_q.put((batch, out, sizes))  # blocks at depth 2
-            except BaseException as e:  # dispatch failed: wake waiters now
-                for w in batch:
-                    w.err = e
-                    w.event.set()
-
-    def _complete_loop(self):
-        while True:
-            batch, out, sizes = self._done_q.get()
-            try:
-                outs = self._complete_batch(out, sizes)
+                outs = self._run_batch(batch[0].key, z, s,
+                                       [w.z.shape[0] for w in batch])
                 for w, o in zip(batch, outs):
                     w.out = o
             except BaseException as e:  # propagate to every waiter
