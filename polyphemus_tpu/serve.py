@@ -62,6 +62,22 @@ class _Work:
         self.err = None
 
 
+def host_z(seed: int, n: int, d: int) -> np.ndarray:
+    """z ~ N(0, I) sampled HOST-side (numpy PCG64, deterministic per seed).
+
+    The CLI path samples z with jax.random (generate.generate_z); doing
+    that per request here was a serving bug found in round 5: the tiny
+    normal() kernel + (n, d) readback queue on the single device stream
+    BEHIND the in-flight tier call, so every request paid a full
+    call-duration before even entering the coalescer — which also made
+    requests arrive right after a dispatch and miss the batching window
+    (coalesce ratio 1.64 at 8 clients). Host-side sampling keeps the
+    device stream exclusively for tier calls. Streams differ from the CLI
+    per seed (documented; both are deterministic)."""
+    return np.random.default_rng(seed).standard_normal(
+        (n, d)).astype(np.float32)
+
+
 def _quantize_temp(t) -> float:
     """Quantize client floats so the generator-cache key space (and compile
     count) is bounded; 2 decimals is far below audible temperature
@@ -168,11 +184,9 @@ class GenerationService:
     def generate(self, n: int, seed: int = 0, structure=None,
                  structure_temp: float = 0.0, content_temp: float = 0.0):
         """Returns (mask, tokens) numpy arrays for n sequences."""
-        from .generate import generate_z
-
         if not 1 <= n <= self.batch_cap:
             raise ValueError(f"n must be in [1, {self.batch_cap}]")
-        z = np.asarray(generate_z(seed, n, self.mc.d))
+        z = host_z(seed, n, self.mc.d)
         cond = structure is not None
         s_rows = None
         if cond:

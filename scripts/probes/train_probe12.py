@@ -39,7 +39,7 @@ toks, mask = jnp.asarray(toks), jnp.asarray(mask)
 
 
 def run(tag, accum, bf16, raise_mb=None, fwd_bb=None, bwd_d=None,
-        bwd_w=None):
+        bwd_w=None, with_metrics=True):
     for k in ("POLY_VMEM_LIMIT_MB", "POLY_GCL_FWD_BB",
               "POLY_GCL_BWD_BB_DATA", "POLY_GCL_BWD_BB_W"):
         os.environ.pop(k, None)
@@ -57,7 +57,8 @@ def run(tag, accum, bf16, raise_mb=None, fwd_bb=None, bwd_d=None,
                           dropout=0.0, batch_norm=True, use_pallas_gcl=True))
     model = VAE(cfg.model)
     state = create_train_state(model, cfg, jax.random.key(0), toks, mask)
-    step = tpu_jit(make_train_step(model, cfg, make_optimizer(cfg)))
+    step = tpu_jit(make_train_step(model, cfg, make_optimizer(cfg),
+                                   with_metrics=with_metrics))
     try:
         s, l, _ = step(state, toks, mask, jax.random.key(1))
         float(l["tot"])
@@ -86,6 +87,14 @@ CASES = {
     # fwd bb16 2.864 vs 2.989 ms, bwd d4w8 4.222 vs 4.47 ms / 512 bars
     "bf16_a2_raised": dict(accum=2, bf16=True, raise_mb=MB, fwd_bb=16,
                            bwd_d=4, bwd_w=8),
+    # Round-5 (VERDICT r4 item 7): metrics-free graphs to fit the fp32 a2
+    # first compile under the sandbox's 10-min command cap. a4_nm is the
+    # like-for-like baseline (metrics cost ≠ 0 in-step).
+    "a4_nm": dict(accum=4, bf16=False, with_metrics=False),
+    "a2_nm": dict(accum=2, bf16=False, raise_mb=MB, bwd_d=4, bwd_w=4,
+                  with_metrics=False),
+    "a2_nm_def": dict(accum=2, bf16=False, raise_mb=MB,
+                      with_metrics=False),
 }
 
 for tag in (sys.argv[1:] or ["a4", "a2"]):

@@ -30,7 +30,9 @@ from polyphemus_tpu.train.trainer import (create_train_state, make_optimizer,
                                           make_train_step)
 
 BATCH, N_BARS = 64, 16
-accum = int((sys.argv[1:] or ["a2"])[0].lstrip("a"))
+tag = (sys.argv[1:] or ["a2"])[0]
+with_metrics = not tag.endswith("nm")  # e.g. `a2nm`: metrics-free graph
+accum = int(tag.lstrip("a").rstrip("nm") or "2")
 toks, mask = synthetic_batch(np.random.default_rng(0), BATCH, N_BARS)
 toks, mask = jnp.asarray(toks), jnp.asarray(mask)
 
@@ -40,7 +42,8 @@ cfg = TrainConfig(
                       dropout=0.0, batch_norm=True, use_pallas_gcl=True))
 model = VAE(cfg.model)
 state = create_train_state(model, cfg, jax.random.key(0), toks, mask)
-step = tpu_jit(make_train_step(model, cfg, make_optimizer(cfg)))
+step = tpu_jit(make_train_step(model, cfg, make_optimizer(cfg),
+                               with_metrics=with_metrics))
 s, l, _ = step(state, toks, mask, jax.random.key(1))
 float(l["tot"])
 times = []
@@ -52,7 +55,8 @@ for _ in range(3):
     float(losses["tot"])
     times.append((time.perf_counter() - t0) / N)
 dt = float(np.median(times))
-print(json.dumps({"what": f"lmd16_bf16_a{accum}",
+print(json.dumps({"what": f"lmd16_bf16_a{accum}"
+                          + ("" if with_metrics else "_nm"),
                   "step_s": round(dt, 4),
                   "seq_s": round(BATCH / dt, 1),
                   "times": [round(t, 4) for t in times]}), flush=True)

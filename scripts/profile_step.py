@@ -22,17 +22,19 @@ from polyphemus_tpu.train.trainer import (create_train_state, make_optimizer,
 
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/poly_trace"
 
-cfg = TrainConfig(batch_size=256,
+BATCH = int(os.environ.get("BATCH", "256"))
+BARS = int(os.environ.get("BARS", "2"))  # 16 = the LMD16 shape
+cfg = TrainConfig(batch_size=BATCH,
                   iters_to_accumulate=int(os.environ.get("ACCUM", "4")),
                   bf16=os.environ.get("BF16", "1") == "1",
                   model=ModelConfig(d=512,
                                     gnn_n_layers=int(
                                         os.environ.get("LAYERS", "8")),
-                                    n_bars=2,
+                                    n_bars=BARS,
                                     resolution=8, dropout=0.0,
                                     batch_norm=True, use_pallas_gcl=True))
 model = VAE(cfg.model)
-toks, mask = synthetic_batch(np.random.default_rng(0), 256, 2)
+toks, mask = synthetic_batch(np.random.default_rng(0), BATCH, BARS)
 toks, mask = jnp.asarray(toks), jnp.asarray(mask)
 state = create_train_state(model, cfg, jax.random.key(0), toks, mask)
 step = tpu_jit(make_train_step(model, cfg, make_optimizer(cfg)))

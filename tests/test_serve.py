@@ -129,12 +129,11 @@ def test_coalescer_merges_queued_requests_into_one_call(big_service):
     import threading
 
     from polyphemus_tpu import serve as S
-    from polyphemus_tpu.generate import generate_z
 
     svc = big_service
     solo = {seed: svc.generate(1, seed=seed) for seed in (10, 11, 12, 13)}
     key = (0.0, 0.0, False)
-    works = [S._Work(key, np.asarray(generate_z(seed, 1, svc.mc.d)), None)
+    works = [S._Work(key, S.host_z(seed, 1, svc.mc.d), None)
              for seed in (10, 11, 12, 13)]
     calls_before = svc.stats["device_calls"]
     # stall the dispatcher behind the condition lock while enqueueing all
