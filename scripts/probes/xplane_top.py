@@ -56,6 +56,9 @@ def load_ops(trace_dir):
 
 
 _CATS = (
+    # control containers (while/cond) span their whole body: their children
+    # are ALSO reported individually, so keep them out of the op rollup
+    ("control", re.compile(r"^%?(while|conditional)[.\d]*\s*=")),
     ("pallas", re.compile(r"gcl|pallas|custom-call", re.I)),
     ("conv", re.compile(r"conv", re.I)),
     ("copy", re.compile(r"copy|transpose|bitcast|reshape", re.I)),
