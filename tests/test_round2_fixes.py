@@ -305,6 +305,44 @@ def test_fused_ce_matches_logits_path():
                                    rtol=1e-5, atol=1e-7)
 
 
+def test_fused_ce_lane_canonicalization_matches_logits_path():
+    """Round-5: when batch*bars is a multiple of 128 (and batch != 128),
+    train_stats re-splits the leading axes as (128, P//128) so XLA's
+    layout assignment puts 128 positions on the vector lanes (the LMD16
+    microbatch fix). The stats must be identical to the logits path —
+    the reshape only reorders fp32 reductions."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from polyphemus_tpu.data.dataset import synthetic_batch
+    from polyphemus_tpu.models import VAE
+    from polyphemus_tpu.train.trainer import (create_train_state,
+                                              make_optimizer, make_train_step)
+
+    # batch 16 x 8 bars -> P = 128: exercises the (128, 1) re-split
+    mcfg = ModelConfig(d=32, gnn_n_layers=2, n_bars=8, resolution=8,
+                       batch_norm=True)
+    cfg_f = TrainConfig(batch_size=16, fused_ce=True, model=mcfg)
+    cfg_l = dataclasses.replace(cfg_f, fused_ce=False)
+    model = VAE(mcfg)
+    toks, mask = synthetic_batch(np.random.default_rng(3), 16, 8)
+    toks, mask = jnp.asarray(toks), jnp.asarray(mask)
+    state = create_train_state(model, cfg_f, jax.random.key(0), toks, mask)
+
+    _, lf, af = jax.jit(make_train_step(model, cfg_f, make_optimizer(cfg_f)))(
+        state, toks, mask, jax.random.key(1))
+    _, ll, al = jax.jit(make_train_step(model, cfg_l, make_optimizer(cfg_l)))(
+        state, toks, mask, jax.random.key(1))
+    for k in ll:
+        assert float(lf[k]) == pytest.approx(float(ll[k]), rel=2e-5,
+                                             abs=1e-6), k
+    for k in al:
+        assert float(af[k]) == pytest.approx(float(al[k]), rel=1e-6,
+                                             abs=1e-9), k
+
+
 # ------------------------------------------------------------- tensorboard
 @pytest.mark.slow
 def test_trainer_tensorboard_mirror(tmp_path):
