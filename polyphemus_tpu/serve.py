@@ -27,8 +27,12 @@ temperatures/conditioning) merge into a single padded tier call —
 continuous micro-batching, so 8 concurrent n=1 clients cost ~one tier-8
 call instead of eight tier-1 calls. Outputs are uint8-packed on device
 (generate.make_generator): the device->host copy rides the tunnel and
-dominates per-call cost at large tiers, and the 4x narrower dtype
-raised sustained 64-client throughput 756 -> 1309 seq/s (round 5). Generators are cached per
+dominates per-call cost at large tiers (4x narrower than int32).
+Request z is sampled HOST-side (host_z below — a per-request jax op
+would queue on the device stream behind the in-flight tier call).
+bench_report.json serve_* keys are the measured source of truth
+(64-client sustained >= 600 seq/s; PERFORMANCE.md round 5 for the
+coalesce-ratio effect and tunnel-variance caveats). Generators are cached per
 (tier, temps, conditioned); temperatures are quantized to 2 decimals and
 the cache is a bounded LRU, so arbitrary client-supplied floats cannot
 grow the compile cache without bound. Cache check-and-insert happens
@@ -109,9 +113,9 @@ class GenerationService:
         # latency tiers: requests pad to the smallest tier >= n, so n=1
         # costs tier-1 compute, not batch_cap compute. batch_cap defaults
         # to the chip's throughput-optimal batch (256, bench.py) so a deep
-        # queue coalesces toward full-rate device calls (round-5: 64 capped
-        # sustained load at ~285 seq/s while tier-256 calls run >12k seq/s);
-        # small tiers below it keep solo-request latency unchanged.
+        # queue coalesces toward full-rate device calls (tier-256 calls
+        # run >12k seq/s offline); small tiers below it keep solo-request
+        # latency unchanged.
         if tiers is None:
             tiers = [t for t in (1, 8, 64) if t < batch_cap] + [batch_cap]
         self.tiers = sorted(set(int(t) for t in tiers))
